@@ -1,0 +1,63 @@
+"""JAX-native k-nearest-neighbour mean squared distance.
+
+Replaces the `simple_knn._C.distCUDA2` CUDA extension (used once at model
+init to set initial log-scales, `scene/gaussian_model.py:444-445`): returns
+the mean squared distance to the 3 nearest neighbours of each point.
+
+Init-time only (N ~ 1e3-1e5), so an exact blockwise O(N^2) computation is the
+right TPU design: distance blocks are MXU matmuls (|x-y|^2 = |x|^2 + |y|^2 -
+2 x.y) and the 3-NN reduction is a running top-k over column blocks — no
+spatial sort, no scatter, fully static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BLOCK = 1024
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_mean_sq_dist(points: jnp.ndarray, k: int = 3) -> jnp.ndarray:
+    """Mean squared distance from each point to its k nearest neighbours.
+
+    Args:
+      points: [N, 3] float32.
+    Returns:
+      [N] float32, matching distCUDA2 semantics (self excluded).
+    """
+    n = points.shape[0]
+    n_pad = ((n + _BLOCK - 1) // _BLOCK) * _BLOCK
+    pts = jnp.pad(points, ((0, n_pad - n), (0, 0)), constant_values=jnp.inf)
+    sq = jnp.sum(jnp.where(jnp.isfinite(pts), pts, 0.0) ** 2, axis=-1)
+    pad_mask = jnp.arange(n_pad) < n
+
+    num_blocks = n_pad // _BLOCK
+
+    def col_block(j, carry):
+        best = carry  # [n_pad, k] smallest squared distances so far
+        cols = jax.lax.dynamic_slice_in_dim(pts, j * _BLOCK, _BLOCK, axis=0)
+        cols = jnp.where(jnp.isfinite(cols), cols, 0.0)
+        col_sq = jax.lax.dynamic_slice_in_dim(sq, j * _BLOCK, _BLOCK, axis=0)
+        col_valid = jax.lax.dynamic_slice_in_dim(pad_mask, j * _BLOCK, _BLOCK, axis=0)
+        rows = jnp.where(jnp.isfinite(pts), pts, 0.0)
+        d2 = (
+            sq[:, None]
+            + col_sq[None, :]
+            - 2.0 * jnp.dot(rows, cols.T, preferred_element_type=jnp.float32)
+        )
+        # mask self-distance and padded columns
+        row_ids = jnp.arange(n_pad)[:, None]
+        col_ids = j * _BLOCK + jnp.arange(_BLOCK)[None, :]
+        d2 = jnp.where((row_ids == col_ids) | ~col_valid[None, :], jnp.inf, d2)
+        d2 = jnp.maximum(d2, 0.0)
+        merged = jnp.concatenate([best, d2], axis=1)
+        best, _ = jax.lax.top_k(-merged, k)
+        return -best
+
+    best0 = jnp.full((n_pad, k), jnp.inf, dtype=jnp.float32)
+    best = jax.lax.fori_loop(0, num_blocks, col_block, best0)
+    return jnp.mean(best, axis=-1)[:n]

@@ -1,0 +1,219 @@
+"""EWA projection of 3D Gaussians to screen space (pure XLA, differentiable).
+
+Reproduces the semantics of the CUDA `preprocessCUDA` stage of
+diff_gaussian_rasterization (called through `gaussian_renderer/__init__.py:
+100-108`): frustum cull at view z <= 0.2, 3D covariance from quaternion+scale,
+EWA 2D projection `Sigma' = J W Sigma W^T J^T` with the 0.3-pixel low-pass
+dilation, conic + 3-sigma radius, NDC->pixel mapping, and clamped SH->RGB.
+
+Everything is vectorized over the primitive axis N (no per-Gaussian control
+flow) so XLA can tile it onto the VPU/MXU; culled Gaussians are masked, not
+dropped, keeping shapes static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from scgaussian_tpu.core import sh as sh_lib
+from scgaussian_tpu.core import transforms
+from scgaussian_tpu.core.cameras import Camera
+
+NEAR_CULL_Z = 0.2  # CUDA in_frustum near cull
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ProjectedGaussians:
+    """Screen-space per-Gaussian attributes (all [N, ...])."""
+
+    mean2d: jnp.ndarray  # [N, 2] pixel coords (ndc2Pix convention)
+    depth: jnp.ndarray  # [N] view-space z
+    conic: jnp.ndarray  # [N, 3] inverse 2D covariance (a, b, c) packed
+    color: jnp.ndarray  # [N, 3] RGB from SH (or precomputed)
+    opacity: jnp.ndarray  # [N] activated opacity in [0, 1]
+    radius: jnp.ndarray  # [N] int32 pixel radius (0 => culled)
+    valid: jnp.ndarray  # [N] bool (radius > 0)
+
+
+def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
+    """CUDA ndc2Pix: ((v + 1) * S - 1) * 0.5."""
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def compute_cov3d(
+    scaling: jnp.ndarray, rotation: jnp.ndarray, scaling_modifier: float = 1.0
+) -> jnp.ndarray:
+    """[N,3] activated scales + [N,4] quats -> packed [N,6] 3D covariance."""
+    cov = transforms.covariance_from_scaling_rotation(scaling, scaling_modifier, rotation)
+    return transforms.strip_symmetric(cov)
+
+
+def compute_cov2d(
+    means3d: jnp.ndarray,
+    cov3d_packed: jnp.ndarray,
+    world_view: jnp.ndarray,
+    focal_x: jnp.ndarray,
+    focal_y: jnp.ndarray,
+    tanfovx: jnp.ndarray,
+    tanfovy: jnp.ndarray,
+) -> jnp.ndarray:
+    """EWA 2D covariance (a, b, c) with the 0.3 low-pass dilation.
+
+    Mirrors CUDA computeCov2D: view-space point clamped to 1.3x the frustum
+    tangent before building the Jacobian.
+    """
+    R = world_view[:3, :3]
+    t = means3d @ R.T + world_view[:3, 3]
+    tz = t[:, 2]
+    limx = 1.3 * tanfovx
+    limy = 1.3 * tanfovy
+    txtz = t[:, 0] / tz
+    tytz = t[:, 1] / tz
+    tx = jnp.clip(txtz, -limx, limx) * tz
+    ty = jnp.clip(tytz, -limy, limy) * tz
+
+    # J = [[fx/tz, 0, -fx*tx/tz^2], [0, fy/tz, -fy*ty/tz^2]]
+    inv_tz = 1.0 / tz
+    inv_tz2 = inv_tz * inv_tz
+    j00 = focal_x * inv_tz
+    j02 = -focal_x * tx * inv_tz2
+    j11 = focal_y * inv_tz
+    j12 = -focal_y * ty * inv_tz2
+
+    # M = J @ R (rows of the 2x3 screen Jacobian in world coords)
+    m0 = j00[:, None] * R[0] + j02[:, None] * R[2]  # [N, 3]
+    m1 = j11[:, None] * R[1] + j12[:, None] * R[2]  # [N, 3]
+
+    V = transforms.unpack_symmetric(cov3d_packed)  # [N, 3, 3]
+    Vm0 = jnp.einsum("nij,nj->ni", V, m0)
+    Vm1 = jnp.einsum("nij,nj->ni", V, m1)
+    a = jnp.sum(m0 * Vm0, axis=-1) + 0.3
+    b = jnp.sum(m0 * Vm1, axis=-1)
+    c = jnp.sum(m1 * Vm1, axis=-1) + 0.3
+    return jnp.stack([a, b, c], axis=-1)
+
+
+def sh_to_color(
+    shs: jnp.ndarray,
+    means3d: jnp.ndarray,
+    campos: jnp.ndarray,
+    active_sh_degree: int,
+) -> jnp.ndarray:
+    """Clamped SH->RGB per Gaussian with view direction from the camera.
+
+    Matches CUDA computeColorFromSH / the python oracle path
+    (`gaussian_renderer/__init__.py:79-83`): result = max(eval_sh + 0.5, 0).
+
+    Args:
+      shs: [N, K, 3] coefficient-major features (reference `get_features`
+        layout, `scene/gaussian_model.py:134-142`).
+    """
+    dirs = means3d - campos[None, :]
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    sh_cm = jnp.swapaxes(shs, -1, -2)  # [N, 3, K] channel-major for eval_sh
+    rgb = sh_lib.eval_sh(active_sh_degree, sh_cm, dirs) + 0.5
+    return jnp.maximum(rgb, 0.0)
+
+
+def project(
+    camera: Camera,
+    means3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    scales: Optional[jnp.ndarray] = None,
+    rotations: Optional[jnp.ndarray] = None,
+    shs: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    active_sh_degree: int = 0,
+    scaling_modifier: float = 1.0,
+) -> ProjectedGaussians:
+    """Project N Gaussians into screen space of `camera`.
+
+    Culling (near plane, zero-det covariance, zero radius) is expressed as the
+    `valid` mask / zero radius; all shapes stay [N].
+    """
+    W, H = camera.width, camera.height
+    focal_x = W / (2.0 * camera.tanfovx)
+    focal_y = H / (2.0 * camera.tanfovy)
+
+    ones = jnp.ones((means3d.shape[0], 1), dtype=means3d.dtype)
+    hom = jnp.concatenate([means3d, ones], axis=-1)
+
+    p_view = hom @ camera.world_view.T  # [N, 4]
+    depth = p_view[:, 2]
+    in_front = depth > NEAR_CULL_Z
+
+    p_hom = hom @ camera.full_proj.T  # [N, 4]
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
+    mean2d = jnp.stack([ndc2pix(p_proj[:, 0], W), ndc2pix(p_proj[:, 1], H)], axis=-1)
+
+    if cov3d_precomp is None:
+        assert scales is not None and rotations is not None
+        cov3d_packed = compute_cov3d(scales, rotations, scaling_modifier)
+    else:
+        cov3d_packed = cov3d_precomp
+    cov2d = compute_cov2d(
+        means3d, cov3d_packed, camera.world_view, focal_x, focal_y,
+        camera.tanfovx, camera.tanfovy,
+    )
+
+    a, b, c = cov2d[:, 0], cov2d[:, 1], cov2d[:, 2]
+    det = a * c - b * b
+    det_ok = det != 0.0
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    mid = 0.5 * (a + c)
+    sq = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda1 = mid + sq
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, mid - sq)))
+    radius = jnp.where(in_front & det_ok, radius_f, 0.0)
+    # Radius participates in binning only — not a differentiable quantity.
+    radius = jax.lax.stop_gradient(radius).astype(jnp.int32)
+
+    if colors_precomp is None:
+        assert shs is not None
+        color = sh_to_color(shs, means3d, camera.cam_center, active_sh_degree)
+    else:
+        color = colors_precomp
+
+    valid = radius > 0
+    return ProjectedGaussians(
+        mean2d=mean2d,
+        depth=depth,
+        conic=conic,
+        color=color,
+        opacity=opacities.reshape(-1),
+        radius=radius,
+        valid=valid,
+    )
+
+
+def tile_rect(
+    mean2d: jnp.ndarray, radius: jnp.ndarray, width: int, height: int, tile: int
+):
+    """Tile-grid bounding rect [min, max) per Gaussian (CUDA getRect).
+
+    Returns (rect_min[N,2], rect_max[N,2]) int32 tile coords; empty rect
+    (zero covered tiles) for culled Gaussians.
+    """
+    grid_x = (width + tile - 1) // tile
+    grid_y = (height + tile - 1) // tile
+    r = radius.astype(jnp.float32)
+    # jnp float->int conversion truncates toward zero, same as the C cast in
+    # getRect; the subsequent clip reproduces min(grid, max(0, .)).
+    min_x = jnp.clip(((mean2d[:, 0] - r) / tile).astype(jnp.int32), 0, grid_x)
+    min_y = jnp.clip(((mean2d[:, 1] - r) / tile).astype(jnp.int32), 0, grid_y)
+    max_x = jnp.clip(((mean2d[:, 0] + r + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
+    max_y = jnp.clip(((mean2d[:, 1] + r + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
+    rect_min = jnp.stack([min_x, min_y], axis=-1)
+    rect_max = jnp.stack([max_x, max_y], axis=-1)
+    rect_min = jax.lax.stop_gradient(rect_min)
+    rect_max = jax.lax.stop_gradient(rect_max)
+    return rect_min, rect_max

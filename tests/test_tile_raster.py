@@ -1,0 +1,151 @@
+"""Pallas tile rasterizer vs the dense oracle: forward and gradient parity.
+
+Runs in Pallas interpret mode on CPU (tests) and compiled on TPU. Scenes are
+kept in regimes where the CUDA-convention backward (cap-ignoring, see
+tile_raster._bwd_kernel) matches plain autodiff of the oracle: opacities below
+the 0.99 alpha cap."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scgaussian_tpu.core.cameras import Camera
+from scgaussian_tpu.renderer import render
+from tests.test_oracle_renderer import make_camera, make_scene
+
+
+def both(cam, means, scales, quats, opac, shs, bg, deg=3, **kw):
+    outs = {}
+    for backend in ("oracle", "tpu"):
+        outs[backend] = render(
+            cam, means, opac, bg, scales=scales, rotations=quats, shs=shs,
+            active_sh_degree=deg, backend=backend, **kw,
+        )
+    return outs["oracle"], outs["tpu"]
+
+
+@pytest.mark.parametrize("seed,n", [(0, 16), (1, 64), (2, 200)])
+def test_forward_parity(seed, n):
+    cam = make_camera(64, 48)
+    means, scales, quats, opac, shs = make_scene(n=n, seed=seed)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    o, t = both(cam, means, scales, quats, opac, shs, bg)
+    np.testing.assert_allclose(np.asarray(t.render), np.asarray(o.render), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(t.rendered_depth), np.asarray(o.rendered_depth), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(t.rendered_alpha), np.asarray(o.rendered_alpha), atol=2e-5
+    )
+    np.testing.assert_array_equal(np.asarray(t.radii), np.asarray(o.radii))
+
+
+def test_forward_parity_opaque_early_stop():
+    """Heavy occlusion exercises the 1e-4 transmittance cutoff path."""
+    cam = make_camera(48, 48)
+    n = 64
+    rng = np.random.default_rng(5)
+    means = np.stack(
+        [rng.uniform(-0.3, 0.3, n), rng.uniform(-0.3, 0.3, n), rng.uniform(2, 6, n)],
+        axis=-1,
+    ).astype(np.float32)
+    scales = np.full((n, 3), 0.3, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    opac = np.full((n,), 0.97, np.float32)
+    shs = np.zeros((n, 16, 3), np.float32)
+    shs[:, 0] = rng.uniform(-0.5, 0.5, (n, 3))
+    o, t = both(
+        cam,
+        jnp.asarray(means),
+        jnp.asarray(scales),
+        jnp.asarray(quats),
+        jnp.asarray(opac),
+        jnp.asarray(shs),
+        jnp.asarray([1.0, 1.0, 1.0]),
+    )
+    np.testing.assert_allclose(np.asarray(t.render), np.asarray(o.render), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(t.rendered_alpha), np.asarray(o.rendered_alpha), atol=5e-5
+    )
+
+
+def test_nonsquare_image_padding():
+    """W, H not multiples of the tile size: padded tiles crop correctly."""
+    cam = make_camera(50, 35)
+    means, scales, quats, opac, shs = make_scene(n=32, seed=3)
+    o, t = both(cam, means, scales, quats, opac, shs, jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(t.render), np.asarray(o.render), atol=2e-5)
+
+
+def test_gradient_parity():
+    cam = make_camera(48, 32)
+    means, scales, quats, opac, shs = make_scene(n=24, seed=9, opacity_range=(0.3, 0.8))
+    bg = jnp.asarray([0.3, 0.3, 0.3])
+    target = jnp.ones((3, 32, 48)) * 0.5
+
+    def loss(backend, means, scales, quats, opac, shs):
+        out = render(
+            cam, means, opac, bg, scales=scales, rotations=quats, shs=shs,
+            active_sh_degree=2, backend=backend,
+        )
+        return (
+            jnp.mean((out.render - target) ** 2)
+            + 0.05 * jnp.mean(out.rendered_depth)
+            + 0.05 * jnp.mean(out.rendered_alpha)
+        )
+
+    args = (means, scales, quats, opac, shs)
+    l_o = float(loss("oracle", *args))
+    l_t = float(loss("tpu", *args))
+    assert abs(l_o - l_t) < 1e-6
+
+    g_o = jax.grad(lambda *a: loss("oracle", *a), argnums=(0, 1, 2, 3, 4))(*args)
+    g_t = jax.grad(lambda *a: loss("tpu", *a), argnums=(0, 1, 2, 3, 4))(*args)
+    names = ["means", "scales", "quats", "opac", "shs"]
+    for name, a, b in zip(names, g_o, g_t):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b, a, atol=5e-4 * scale, err_msg=name)
+
+
+def test_gradient_parity_mean2d_offset():
+    """Viewspace (densification) gradients agree between backends."""
+    cam = make_camera(32, 32)
+    means, scales, quats, opac, shs = make_scene(n=12, seed=13, opacity_range=(0.4, 0.7))
+    off = jnp.zeros((12, 2))
+
+    def loss(backend, off):
+        out = render(
+            cam, means, opac, jnp.zeros(3), scales=scales, rotations=quats,
+            shs=shs, active_sh_degree=0, mean2d_offset=off, backend=backend,
+        )
+        return jnp.sum(out.render**2)
+
+    g_o = jax.grad(lambda o: loss("oracle", o))(off)
+    g_t = jax.grad(lambda o: loss("tpu", o))(off)
+    a, b = np.asarray(g_o), np.asarray(g_t)
+    np.testing.assert_allclose(b, a, atol=5e-4 * (np.abs(a).max() + 1e-8))
+
+
+def test_overflow_truncation_is_bounded():
+    """With a tiny per-tile cap K the farthest splats are dropped; the image
+    stays close to the oracle when occlusion makes them invisible."""
+    cam = make_camera(32, 32)
+    n = 96
+    rng = np.random.default_rng(7)
+    means = np.stack(
+        [rng.uniform(-0.2, 0.2, n), rng.uniform(-0.2, 0.2, n), rng.uniform(2, 3, n)],
+        axis=-1,
+    ).astype(np.float32)
+    out = render(
+        make_camera(32, 32),
+        jnp.asarray(means),
+        jnp.full((n,), 0.95),
+        jnp.zeros(3),
+        scales=jnp.full((n, 3), 0.3),
+        rotations=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (n, 1)),
+        colors_precomp=jnp.ones((n, 3)),
+        backend="tpu",
+    )
+    assert np.isfinite(np.asarray(out.render)).all()
