@@ -82,7 +82,7 @@ def composite_dense(
     P = width * height
 
     def step(carry, g):
-        T, C, D = carry
+        T, done, C, D = carry
         m2d, dpt, con, col, op, rmin, rmax, vld = g
         dx = m2d[0] - pixx
         dy = m2d[1] - pixy
@@ -98,21 +98,26 @@ def composite_dense(
         alpha = jnp.where(live, alpha, 0.0)
         T_new = T * (1.0 - alpha)
         if smooth:
-            ok = jnp.full_like(T_new, True, dtype=bool)
+            ok = jnp.full_like(done, True)
         else:
-            ok = T_new >= T_EPS  # the crossing Gaussian is excluded (CUDA rule)
+            # CUDA rule: the Gaussian whose blend would push T below 1e-4 is
+            # excluded AND sets the sticky `done` flag — everything after is
+            # skipped even if its own test would pass.
+            ok = (T_new >= T_EPS) & ~done
+            done = done | (live & (T_new < T_EPS))
         w = jnp.where(ok, alpha * T, 0.0)
         C = C + w[:, None] * col[None, :]
         D = D + w * dpt
         T = jnp.where(ok, T_new, T)
-        return (T, C, D), None
+        return (T, done, C, D), None
 
     T0 = jnp.ones((P,), dtype=jnp.float32)
+    done0 = jnp.zeros((P,), dtype=bool)
     C0 = jnp.zeros((P, 3), dtype=jnp.float32)
     D0 = jnp.zeros((P,), dtype=jnp.float32)
-    (T, C, D), _ = jax.lax.scan(
+    (T, _, C, D), _ = jax.lax.scan(
         step,
-        (T0, C0, D0),
+        (T0, done0, C0, D0),
         (mean2d, depth, conic, color, opac, rect_min, rect_max, valid),
     )
 

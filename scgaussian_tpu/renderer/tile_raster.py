@@ -65,14 +65,14 @@ def _pix_coords(tile_id, nx: int, tilesize: int, P: int):
     return pixx, pixy
 
 
-def _chunk_geometry(d, sl, pixx, pixy):
-    """Shared per-chunk alpha computation. d: [NUM_ROWS, K] ref slice source."""
-    mx = d[ROW_MX : ROW_MX + 1, sl]  # [1, C]
-    my = d[ROW_MY : ROW_MY + 1, sl]
-    ca = d[ROW_CA : ROW_CA + 1, sl]
-    cb = d[ROW_CB : ROW_CB + 1, sl]
-    cc = d[ROW_CC : ROW_CC + 1, sl]
-    op = d[ROW_OP : ROW_OP + 1, sl]
+def _chunk_geometry(data_ref, sl, pixx, pixy):
+    """Shared per-chunk alpha computation; slices the [1, NUM_ROWS, K] ref."""
+    mx = data_ref[0, ROW_MX : ROW_MX + 1, sl]  # [1, C]
+    my = data_ref[0, ROW_MY : ROW_MY + 1, sl]
+    ca = data_ref[0, ROW_CA : ROW_CA + 1, sl]
+    cb = data_ref[0, ROW_CB : ROW_CB + 1, sl]
+    cc = data_ref[0, ROW_CC : ROW_CC + 1, sl]
+    op = data_ref[0, ROW_OP : ROW_OP + 1, sl]
     dx = mx - pixx  # [P, C]
     dy = my - pixy
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -89,29 +89,33 @@ def _fwd_kernel(nx: int, tilesize: int, counts_ref, tri_ref, data_ref, out_ref):
     t = pl.program_id(0)
     cnt = counts_ref[t]
     pixx, pixy = _pix_coords(t, nx, tilesize, P)
-    d = data_ref[0]
     nchunks = pl.cdiv(cnt, CHUNK)
 
     def body(k, carry):
-        logT, acc = carry
+        logT, done, acc = carry
         sl = pl.ds(pl.multiple_of(k * CHUNK, CHUNK), CHUNK)
-        *_, alpha, live = _chunk_geometry(d, sl, pixx, pixy)
+        *_, alpha, live = _chunk_geometry(data_ref, sl, pixx, pixy)
         l = jnp.log1p(-alpha)  # [P, C]
         S = jnp.dot(l, tri_ref[:], preferred_element_type=jnp.float32)
         logT_after = logT + S
-        inc = logT_after >= LOG_T_EPS
+        # Sticky CUDA early-stop: within the chunk, carry+S is non-increasing
+        # so the per-column test reproduces "first crossing excludes the rest";
+        # `done` propagates the crossing across chunk boundaries.
+        inc = (logT_after >= LOG_T_EPS) & jnp.logical_not(done)
         T_before = jnp.exp(logT_after - l)
         w = jnp.where(inc, alpha * T_before, 0.0)
-        attrs = d[ROW_R : ROW_D + 1, sl]  # [4, C] rgb + depth
+        attrs = data_ref[0, ROW_R : ROW_D + 1, sl]  # [4, C] rgb + depth
         acc = acc + jax.lax.dot_general(
             w, attrs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         logT = logT + jnp.sum(jnp.where(inc, l, 0.0), axis=1, keepdims=True)
-        return logT, acc
+        done = done | (logT_after[:, CHUNK - 1 :] < LOG_T_EPS)
+        return logT, done, acc
 
     logT0 = jnp.zeros((P, 1), jnp.float32)
+    done0 = jnp.zeros((P, 1), bool)
     acc0 = jnp.zeros((P, 4), jnp.float32)
-    logT, acc = jax.lax.fori_loop(0, nchunks, body, (logT0, acc0))
+    logT, _, acc = jax.lax.fori_loop(0, nchunks, body, (logT0, done0, acc0))
     out = jnp.concatenate(
         [acc, logT, jnp.zeros((P, 3), jnp.float32)], axis=1
     )  # [P, 8]
@@ -123,45 +127,49 @@ def _bwd_kernel(nx: int, tilesize: int, counts_ref, tri_ref, data_ref, gout_ref,
     t = pl.program_id(0)
     cnt = counts_ref[t]
     pixx, pixy = _pix_coords(t, nx, tilesize, P)
-    d = data_ref[0]
-    g = gout_ref[0]  # [P, 8]
-    g_attrs = g[:, 0:4]  # cotangents for premultiplied rgb + depth
-    g_logT = g[:, 4:5]
+    g_attrs = gout_ref[0, :, 0:4]  # cotangents for premultiplied rgb + depth
+    g_logT = gout_ref[0, :, 4:5]
     nchunks = pl.cdiv(cnt, CHUNK)
 
-    ddata_ref[0] = jnp.zeros_like(ddata_ref[0])
+    ddata_ref[0, :, :] = jnp.zeros(ddata_ref.shape[1:], jnp.float32)
 
-    def common(k, logT):
+    def common(k, logT, done):
         sl = pl.ds(pl.multiple_of(k * CHUNK, CHUNK), CHUNK)
-        dx, dy, ca, cb, cc, op, G, alpha, live = _chunk_geometry(d, sl, pixx, pixy)
+        dx, dy, ca, cb, cc, op, G, alpha, live = _chunk_geometry(data_ref, sl, pixx, pixy)
         l = jnp.log1p(-alpha)
         S = jnp.dot(l, tri_ref[:], preferred_element_type=jnp.float32)
         logT_after = logT + S
-        inc = logT_after >= LOG_T_EPS
+        inc = (logT_after >= LOG_T_EPS) & jnp.logical_not(done)
         T_before = jnp.exp(logT_after - l)
         w = jnp.where(inc, alpha * T_before, 0.0)
-        attrs = d[ROW_R : ROW_D + 1, sl]
+        attrs = data_ref[0, ROW_R : ROW_D + 1, sl]
         # g_w[p, c] = sum_ch g_attrs[p, ch] * attrs[ch, c]
         g_w = jnp.dot(g_attrs, attrs, preferred_element_type=jnp.float32)
         logT_next = logT + jnp.sum(jnp.where(inc, l, 0.0), axis=1, keepdims=True)
-        return sl, dx, dy, ca, cb, cc, op, G, alpha, live, inc, T_before, w, g_w, logT_next
+        done_next = done | (logT_after[:, CHUNK - 1 :] < LOG_T_EPS)
+        return (
+            sl, dx, dy, ca, cb, cc, op, G, alpha, live, inc, T_before, w, g_w,
+            logT_next, done_next,
+        )
 
     # Pass 1: total per-pixel sum of g_w * w (for suffix sums A_i = total - prefix_i).
     def body1(k, carry):
-        logT, total = carry
-        *_, w, g_w, logT_next = common(k, logT)
+        logT, done, total = carry
+        *_, w, g_w, logT_next, done_next = common(k, logT, done)
         total = total + jnp.sum(g_w * w, axis=1, keepdims=True)
-        return logT_next, total
+        return logT_next, done_next, total
 
     logT0 = jnp.zeros((P, 1), jnp.float32)
-    _, total = jax.lax.fori_loop(0, nchunks, body1, (logT0, jnp.zeros((P, 1), jnp.float32)))
+    done0 = jnp.zeros((P, 1), bool)
+    _, _, total = jax.lax.fori_loop(
+        0, nchunks, body1, (logT0, done0, jnp.zeros((P, 1), jnp.float32))
+    )
 
     # Pass 2: per-splat gradients.
     def body2(k, carry):
-        logT, prefix = carry
-        (sl, dx, dy, ca, cb, cc, op, G, alpha, live, inc, T_before, w, g_w, logT_next) = common(
-            k, logT
-        )
+        logT, done, prefix = carry
+        (sl, dx, dy, ca, cb, cc, op, G, alpha, live, inc, T_before, w, g_w,
+         logT_next, done_next) = common(k, logT, done)
         gww = g_w * w  # [P, C]
         prefix_inc = prefix + jnp.dot(gww, tri_ref[:], preferred_element_type=jnp.float32)
         A = total - prefix_inc  # suffix sum over j > i of g_w_j w_j
@@ -194,9 +202,9 @@ def _bwd_kernel(nx: int, tilesize: int, counts_ref, tri_ref, data_ref, gout_ref,
         ddata_ref[0, ROW_R : ROW_D + 1, sl] = d_attrs
         ddata_ref[0, ROW_OP : ROW_OP + 1, sl] = rowsum(d_op)
         prefix = prefix + jnp.sum(gww, axis=1, keepdims=True)
-        return logT_next, prefix
+        return logT_next, done_next, prefix
 
-    jax.lax.fori_loop(0, nchunks, body2, (logT0, jnp.zeros((P, 1), jnp.float32)))
+    jax.lax.fori_loop(0, nchunks, body2, (logT0, done0, jnp.zeros((P, 1), jnp.float32)))
 
 
 def _tri_matrix() -> jnp.ndarray:
