@@ -14,7 +14,7 @@ import os
 from typing import Optional
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """`ModelParams` (`arguments/__init__.py:47-62`)."""
 
@@ -27,7 +27,7 @@ class ModelConfig:
     eval: bool = False
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     """`PipelineParams` (`arguments/__init__.py:64-69`)."""
 
@@ -36,7 +36,7 @@ class PipelineConfig:
     debug: bool = False
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class OptimizationConfig:
     """`OptimizationParams` (`arguments/__init__.py:71-91`)."""
 
@@ -60,7 +60,7 @@ class OptimizationConfig:
     random_background: bool = False
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class RasterizerConfig:
     """TPU rasterizer capacities (no reference analog; the CUDA rasterizer
     allocates dynamically). Static shapes -> recompile only when changed."""
@@ -70,7 +70,7 @@ class RasterizerConfig:
     entry_budget: Optional[int] = None  # None => 8 * N
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class TrainExtras:
     """Hardcoded reference constants surfaced as config."""
 

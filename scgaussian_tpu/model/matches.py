@@ -35,7 +35,8 @@ class MatchBundle:
     cam_rays_d: jnp.ndarray  # [P, M, 3] ray dirs in the source camera frame
     uv: jnp.ndarray  # [P, M, 2] match pixel coords in the source view
     color: jnp.ndarray  # [P, M, 3] source image bilinearly warped to uv
-    mask: jnp.ndarray  # [P, M] warp mask (blender mask x pad validity)
+    mask: jnp.ndarray  # [P, M] warp mask (blender mask; 0 on padding)
+    pad_valid: jnp.ndarray  # [P, M] bool: True for real (non-padding) matches
     near_far: jnp.ndarray  # [P, 2]
     src: jnp.ndarray  # [P] int32
     dst: jnp.ndarray  # [P] int32
@@ -80,6 +81,7 @@ def build_match_bundle(
     uv = np.zeros((P, M, 2), np.float32)
     color = np.zeros((P, M, 3), np.float32)
     mask = np.zeros((P, M), np.float32)
+    pad_valid = np.zeros((P, M), bool)
     near_far = np.zeros((P, 2), np.float32)
 
     for k, (i, j) in enumerate(pairs):
@@ -99,6 +101,7 @@ def build_match_bundle(
         else:
             warp_m = np.ones((m,), np.float32)
         mask[k, :m] = warp_m
+        pad_valid[k, :m] = True
 
         K = intrs[i]
         w2c = w2cs[i]
@@ -126,6 +129,7 @@ def build_match_bundle(
         uv=jnp.asarray(uv),
         color=jnp.asarray(color),
         mask=jnp.asarray(mask),
+        pad_valid=jnp.asarray(pad_valid),
         near_far=jnp.asarray(near_far),
         src=jnp.asarray(src),
         dst=jnp.asarray(dst),
@@ -207,7 +211,10 @@ def matchloss_from_renderdepth(
     d = grid_sample_2d(depth_map, flat)[0].reshape(uv.shape[:2])  # [V-1, M]
 
     cam_rays_d = bundle.cam_rays_d[pair_ids]
-    z = d / cam_rays_d[..., 2]
+    # safe divide: padded rows have zero rays; they carry zero weight below,
+    # but inf/NaN would still poison gradients through the masked product.
+    czd = cam_rays_d[..., 2]
+    z = d / jnp.where(jnp.abs(czd) > 1e-8, czd, 1.0)
     world = bundle.rays_o[pair_ids] + bundle.rays_d[pair_ids] * z[..., None]
 
     xy, _ = _project_to_view(bundle, world, bundle.dst[pair_ids])
@@ -282,10 +289,12 @@ def promote_matches(
     """Select converged matches as ray-Gaussian seeds (host-side, one-time).
 
     Matches `create_from_pcd`'s vmask filter (`scene/gaussian_model.py:
-    394-395`): keep matches whose best reprojection error < 0.1, concatenated
-    in ordered-pair order. Returns (rayo, rayd, zval, color) numpy arrays.
+    394-395`): keep matches whose best reprojection error < 0.1 (the warp
+    mask is NOT part of the filter in the reference — only padding is
+    excluded), concatenated in ordered-pair order.
+    Returns (rayo, rayd, zval, color) numpy arrays.
     """
-    mask = (np.asarray(min_err) < err_threshold) & (np.asarray(bundle.mask) > 0)
+    mask = (np.asarray(min_err) < err_threshold) & np.asarray(bundle.pad_valid)
     sel = mask.reshape(-1)
     rayo = np.asarray(bundle.rays_o).reshape(-1, 3)[sel]
     rayd = np.asarray(bundle.rays_d).reshape(-1, 3)[sel]

@@ -69,7 +69,11 @@ def compute_cov2d(
     """
     R = world_view[:3, :3]
     t = means3d @ R.T + world_view[:3, 3]
-    tz = t[:, 2]
+    # Degenerate-input safety: points at/behind the camera (e.g. dead
+    # fixed-capacity slots) are culled by the near test, but 1/tz must stay
+    # finite so their zero cotangents don't turn into NaNs in the backward.
+    tz_raw = t[:, 2]
+    tz = jnp.where(jnp.abs(tz_raw) < 1e-6, 1e-6, tz_raw)
     limx = 1.3 * tanfovx
     limy = 1.3 * tanfovy
     txtz = t[:, 0] / tz
@@ -114,7 +118,10 @@ def sh_to_color(
         layout, `scene/gaussian_model.py:134-142`).
     """
     dirs = means3d - campos[None, :]
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    # safe normalize: a Gaussian exactly at the camera center (e.g. a dead
+    # fixed-capacity slot parked at the origin) must not poison the batch
+    # with NaNs — forward (0/0) OR backward (norm gradient at 0).
+    dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20)
     sh_cm = jnp.swapaxes(shs, -1, -2)  # [N, 3, K] channel-major for eval_sh
     rgb = sh_lib.eval_sh(active_sh_degree, sh_cm, dirs) + 0.5
     return jnp.maximum(rgb, 0.0)

@@ -1,0 +1,201 @@
+"""Main-stage training: photometric + structure-consistency optimization.
+
+Functional redesign of `training()`'s main loop (`train.py:99-212`): one
+jitted `train_step` (render -> loss -> grads -> dual Adam update -> densify
+stats) plus jitted maintenance steps (`densify_and_prune` every 100 iters,
+`reset_opacity` every 200 — `train.py:189-200`). All steps are statically
+shaped; the Python driver only sequences them and handles I/O.
+
+Loss (matching `train.py:143-168`):
+    (1 - lambda_dssim) L1 + lambda_dssim (1 - SSIM)
+    + 0.3 * match-consistency on rendered depth
+    + DTU only: background-alpha penalty with the dark-row mask.
+
+Reference quirk preserved: `update_learning_rate` returns after scheduling
+the fg zval group, so the bg_xyz LR is never actually scheduled and stays at
+position_lr_init * spatial_lr_scale (`scene/gaussian_model.py:517-529`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from scgaussian_tpu.config import OptimizationConfig, RasterizerConfig, TrainExtras
+from scgaussian_tpu.core.cameras import Camera
+from scgaussian_tpu.core.schedules import expon_lr
+from scgaussian_tpu.losses import l1_loss, ssim
+from scgaussian_tpu.model.densify import update_stats
+from scgaussian_tpu.model.gaussians import GaussianModel, GaussianParams
+from scgaussian_tpu.model.matches import MatchBundle, matchloss_from_renderdepth
+from scgaussian_tpu.renderer import render
+from scgaussian_tpu.train import optim
+
+
+def render_model(
+    camera: Camera,
+    model: GaussianModel,
+    bg_color: jnp.ndarray,
+    mean2d_offset: Optional[jnp.ndarray] = None,
+    backend: str = "tpu",
+    raster: RasterizerConfig = RasterizerConfig(),
+    scaling_modifier: float = 1.0,
+):
+    """The `render(viewpoint, gaussians, pipe, bg)` analog
+    (`gaussian_renderer/__init__.py:20-118`) over a GaussianModel."""
+    kw = {}
+    if backend == "tpu":
+        kw = dict(max_per_tile=raster.max_per_tile, entry_budget=raster.entry_budget)
+        from scgaussian_tpu.renderer import tile_raster  # noqa: F401
+
+    return render(
+        camera,
+        model.get_xyz(),
+        model.get_opacity().reshape(-1),
+        bg_color,
+        scales=model.get_scaling(),
+        rotations=model.get_rotation(),
+        shs=model.get_features(),
+        active_sh_degree=model.max_sh_degree,  # bands masked by traced degree
+        scaling_modifier=scaling_modifier,
+        mean2d_offset=mean2d_offset,
+        backend=backend,
+        tile=raster.tile,
+        **({} if backend == "oracle" else kw),
+    )
+
+
+def dtu_background_mask(gt_image: jnp.ndarray, dark_threshold: float, shift_rows: int):
+    """DTU dark-background mask (`train.py:149-158`): pixel is background iff
+    it and the `shift_rows-1` rows above it are all darker than the threshold."""
+    dark = (jnp.max(gt_image, axis=0, keepdims=True) < dark_threshold).astype(jnp.float32)
+    padded = jnp.pad(dark, ((0, 0), (shift_rows - 1, 0), (0, 0)), constant_values=1.0)
+    windowed = jax.lax.reduce_window(
+        padded,
+        1.0,
+        jax.lax.min,
+        window_dimensions=(1, shift_rows, 1),
+        window_strides=(1, 1, 1),
+        padding="VALID",
+    )
+    return windowed > 0.5  # [1, H, W] bool
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    l1: jnp.ndarray
+    match_loss: jnp.ndarray
+    num_visible: jnp.ndarray
+
+
+def lr_tree(
+    params: GaussianParams,
+    opt_cfg: OptimizationConfig,
+    spatial_lr_scale: float,
+    iteration: jnp.ndarray,
+) -> GaussianParams:
+    """Per-leaf learning rates (`scene/gaussian_model.py:486-515`)."""
+    zval_sched = expon_lr(
+        lr_init=opt_cfg.position_lr_init * spatial_lr_scale,
+        lr_final=opt_cfg.position_lr_final * spatial_lr_scale,
+        lr_delay_mult=opt_cfg.position_lr_delay_mult,
+        max_steps=opt_cfg.position_lr_max_steps,
+    )
+    return GaussianParams(
+        zval=zval_sched(iteration),
+        f_dc=opt_cfg.feature_lr,
+        f_rest=opt_cfg.feature_lr / 20.0,
+        scaling=opt_cfg.scaling_lr,
+        rotation=opt_cfg.rotation_lr,
+        opacity=opt_cfg.opacity_lr,
+        # bg_xyz is NOT scheduled (reference dead-code quirk, see module doc)
+        bg_xyz=opt_cfg.position_lr_init * spatial_lr_scale,
+        bg_f_dc=opt_cfg.feature_lr,
+        bg_f_rest=opt_cfg.feature_lr / 20.0,
+        bg_scaling=opt_cfg.scaling_lr,
+        bg_rotation=opt_cfg.rotation_lr,
+        bg_opacity=opt_cfg.opacity_lr,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "opt_cfg",
+        "raster",
+        "extras",
+        "backend",
+        "is_dtu",
+    ),
+)
+def train_step(
+    model: GaussianModel,
+    opt_state: optim.AdamState,
+    bundle: MatchBundle,
+    camera: Camera,
+    gt_image: jnp.ndarray,  # [3, H, W]
+    view_idx: jnp.ndarray,  # [] int32
+    iteration: jnp.ndarray,  # [] int32 (1-based like the reference)
+    bg_color: jnp.ndarray,  # [3]
+    opt_cfg: OptimizationConfig,
+    raster: RasterizerConfig = RasterizerConfig(),
+    extras: TrainExtras = TrainExtras(),
+    backend: str = "tpu",
+    is_dtu: bool = False,
+) -> Tuple[GaussianModel, optim.AdamState, StepMetrics]:
+    width, height = camera.width, camera.height
+
+    if is_dtu:
+        bg_mask = dtu_background_mask(
+            gt_image, extras.dtu_dark_threshold, extras.dtu_shift_rows
+        )
+        gt_image = jnp.where(bg_mask, 0.0, gt_image)
+
+    offset0 = jnp.zeros((model.total, 2), jnp.float32)
+
+    def loss_fn(params: GaussianParams, offset: jnp.ndarray):
+        m = dataclasses.replace(model, params=params)
+        out = render_model(camera, m, bg_color, mean2d_offset=offset, backend=backend, raster=raster)
+        ll1 = l1_loss(out.render, gt_image)
+        loss = (1.0 - opt_cfg.lambda_dssim) * ll1 + opt_cfg.lambda_dssim * (
+            1.0 - ssim(out.render, gt_image)
+        )
+        mloss = matchloss_from_renderdepth(bundle, view_idx, out.rendered_depth)
+        loss = loss + extras.render_match_loss_weight * mloss
+        if is_dtu:
+            msum = jnp.maximum(jnp.sum(bg_mask), 1)
+            loss = loss + jnp.sum(out.rendered_alpha * bg_mask) / msum
+        return loss, (out, ll1, mloss)
+
+    (loss, (out, ll1, mloss)), (g_params, g_offset) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(model.params, offset0)
+
+    # densification stats (`train.py:190-193`), only while densifying
+    in_densify = iteration < opt_cfg.densify_until_iter
+    stats_model = update_stats(model, out.radii, g_offset, width, height)
+    model = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(in_densify, a, b), stats_model, model
+    )
+
+    lrs = lr_tree(model.params, opt_cfg, model.spatial_lr_scale, iteration)
+    new_params, new_opt = optim.apply(model.params, g_params, opt_state, lrs)
+
+    # the reference skips the optimizer step on the final iteration (train.py:203)
+    do_step = iteration < opt_cfg.iterations
+    params = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(do_step, a, b), new_params, model.params
+    )
+    opt_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(do_step, a, b), new_opt, opt_state
+    )
+    model = dataclasses.replace(model, params=params)
+
+    metrics = StepMetrics(
+        loss=loss, l1=ll1, match_loss=mloss, num_visible=jnp.sum(out.radii > 0)
+    )
+    return model, opt_state, metrics

@@ -1,0 +1,161 @@
+"""Two-stage training pipeline glue: init stage -> promote -> main stage.
+
+The functional equivalent of `training()` (`train.py:37-212`): stage 1 runs
+the scanned match-prior z optimization, promoted matches become the hybrid
+model (create_from_pcd analog), stage 2 sequences jitted train/maintenance
+steps. Used by both the CLI (apps/train.py) and the integration tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scgaussian_tpu.config import OptimizationConfig, RasterizerConfig, TrainExtras
+from scgaussian_tpu.core.cameras import Camera
+from scgaussian_tpu.model import matches as matches_mod
+from scgaussian_tpu.model.densify import densify_and_prune, reset_opacity
+from scgaussian_tpu.model.gaussians import GaussianModel, create_model
+from scgaussian_tpu.train import optim
+from scgaussian_tpu.train.main_stage import StepMetrics, train_step
+
+
+def setup_from_matches(
+    bundle: matches_mod.MatchBundle,
+    rng: jax.Array,
+    sh_degree: int,
+    spatial_lr_scale: float,
+    extras: TrainExtras = TrainExtras(),
+    init_iterations: Optional[int] = None,
+) -> Tuple[GaussianModel, matches_mod.InitStageResult]:
+    """Init stage (`train.py:49-97`) + promotion (`create_from_pcd`)."""
+    z0 = matches_mod.init_zvals(bundle, rng)
+    result = matches_mod.run_init_stage(
+        bundle,
+        z0,
+        iterations=init_iterations or extras.init_iterations,
+        base_lr=extras.init_lr,
+        loss_scale=extras.init_loss_scale,
+    )
+    rayo, rayd, zval, color = matches_mod.promote_matches(
+        bundle,
+        np.asarray(result.best_z),
+        np.asarray(result.min_err),
+        err_threshold=extras.promote_err_threshold,
+    )
+    model = create_model(
+        rayo,
+        rayd,
+        zval,
+        color,
+        max_sh_degree=sh_degree,
+        spatial_lr_scale=spatial_lr_scale,
+        bg_capacity=extras.bg_capacity,
+    )
+    return model, result
+
+
+@dataclasses.dataclass
+class TrainState:
+    model: GaussianModel
+    opt_state: optim.AdamState
+    iteration: int = 0
+
+
+def run_main_stage(
+    model: GaussianModel,
+    bundle: matches_mod.MatchBundle,
+    cameras: List[Camera],
+    gt_images: List[jnp.ndarray],
+    view_ids: List[int],
+    rng: jax.Array,
+    opt_cfg: OptimizationConfig = OptimizationConfig(),
+    raster: RasterizerConfig = RasterizerConfig(),
+    extras: TrainExtras = TrainExtras(),
+    white_background: bool = False,
+    is_dtu: bool = False,
+    backend: str = "tpu",
+    cameras_extent: float = 1.0,
+    iterations: Optional[int] = None,
+    callback: Optional[Callable[[int, GaussianModel, StepMetrics], None]] = None,
+) -> TrainState:
+    """Main optimization loop (`train.py:99-212`).
+
+    Python here only sequences jitted steps: camera pick, train_step,
+    densify/reset maintenance, SH degree bumps.
+    """
+    iterations = iterations or opt_cfg.iterations
+    bg_color = jnp.asarray([1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0])
+    opt_state = optim.init(model.params)
+
+    # random camera stack semantics (`train.py:133-135`)
+    py_rng = np.random.default_rng(np.asarray(jax.random.key_data(rng))[-1])
+    stack: List[int] = []
+
+    for iteration in range(1, iterations + 1):
+        # SH degree bump every 1000 iters (`train.py:129-130`)
+        if iteration % 1000 == 0:
+            model = model.oneup_sh_degree()
+
+        if not stack:
+            stack = list(range(len(cameras)))
+            py_rng.shuffle(stack)
+        cam_i = stack.pop()
+
+        if opt_cfg.random_background:
+            bg = jnp.asarray(py_rng.uniform(size=3).astype(np.float32))
+        else:
+            bg = bg_color
+
+        model, opt_state, metrics = train_step(
+            model,
+            opt_state,
+            bundle,
+            cameras[cam_i],
+            gt_images[cam_i],
+            jnp.int32(view_ids[cam_i]),
+            jnp.int32(iteration),
+            bg,
+            opt_cfg,
+            raster=raster,
+            extras=extras,
+            backend=backend,
+            is_dtu=is_dtu,
+        )
+
+        # densification + opacity reset schedule (`train.py:189-200`)
+        if iteration < opt_cfg.densify_until_iter:
+            if (
+                iteration > opt_cfg.densify_from_iter
+                and iteration % opt_cfg.densification_interval == 0
+            ):
+                size_threshold = (
+                    extras.size_threshold
+                    if iteration > opt_cfg.opacity_reset_interval
+                    else None
+                )
+                rng, sub = jax.random.split(rng)
+                model, opt_state, _dropped = densify_and_prune(
+                    model,
+                    opt_state,
+                    sub,
+                    opt_cfg.densify_grad_threshold,
+                    extras.prune_min_opacity,
+                    cameras_extent,
+                    size_threshold,
+                    opt_cfg.percent_dense,
+                )
+            if iteration < opt_cfg.opacity_reset_until_iter and (
+                iteration % opt_cfg.opacity_reset_interval == 0
+                or (white_background and iteration == opt_cfg.densify_from_iter)
+            ):
+                model, opt_state = reset_opacity(model, opt_state)
+
+        if callback is not None:
+            callback(iteration, model, metrics)
+
+    return TrainState(model=model, opt_state=opt_state, iteration=iterations)
