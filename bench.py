@@ -1,0 +1,82 @@
+"""Benchmark: rasterizer forward+backward throughput on real TPU hardware.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Metric: rays/s/chip for a full differentiable render (forward + backward
+through projection, binning, and the Pallas compositing kernels) at
+1080p-class resolution with a realistic primitive count. `vs_baseline` is
+measured against the reference CUDA pipeline's published order of magnitude;
+the reference publishes no in-tree numbers (BASELINE.md), so until a
+reference run exists we report the ratio vs a 3090-class diff-gaussian-
+rasterization fwd+bwd estimate of ~150 it/s at 1080p (~3.1e8 rays/s).
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 3.1e8  # see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from scgaussian_tpu.core.cameras import Camera
+    from scgaussian_tpu.renderer import render
+
+    W, H = 1920, 1080
+    N = 100_000
+    rng = np.random.default_rng(0)
+    means = np.stack(
+        [rng.uniform(-3, 3, N), rng.uniform(-2, 2, N), rng.uniform(2, 10, N)], -1
+    ).astype(np.float32)
+    scales = np.exp(rng.uniform(-5.0, -3.0, (N, 3))).astype(np.float32)
+    quats = rng.normal(size=(N, 4)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.9, N).astype(np.float32)
+    shs = np.zeros((N, 16, 3), np.float32)
+    shs[:, 0] = rng.uniform(-1, 1, (N, 3))
+    cam = Camera.create(np.eye(3), np.zeros(3), 0.9, 0.6, W, H)
+
+    @jax.jit
+    def fwdbwd(means, opac, scales, quats, shs):
+        def loss(*a):
+            out = render(
+                cam, a[0], a[1], jnp.zeros(3), scales=a[2], rotations=a[3],
+                shs=a[4], active_sh_degree=3, backend="tpu",
+            )
+            return (
+                jnp.sum(out.render**2)
+                + jnp.sum(out.rendered_depth**2)
+                + jnp.sum(out.rendered_alpha)
+            )
+
+        return jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(*a)
+
+    args = tuple(jnp.asarray(x) for x in (means, opac, scales, quats, shs))
+    out = fwdbwd(*args)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwdbwd(*args)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+
+    rays_per_s = W * H / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_s_per_chip_fwdbwd_1080p",
+                "value": rays_per_s,
+                "unit": "rays/s",
+                "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

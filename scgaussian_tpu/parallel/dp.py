@@ -1,0 +1,103 @@
+"""Multi-device training: camera-batch data parallelism over a Mesh.
+
+The reference is strictly single-GPU (SURVEY.md section 2.3: no distributed
+execution of any kind), so the multi-chip strategy is a first-class design
+of this framework rather than a port:
+
+- **DP over cameras** (this module): each device renders + differentiates a
+  different training view against replicated parameters; gradients are
+  `psum`ed over the mesh's ICI and a single Adam update is applied
+  replicated. Semantics = reference with batch=k cameras per step (keep
+  k=1 per-device batch and 1 device for exact parity runs).
+- **Tile sharding** (parallel/tiles.py): the rasterizer's tile grid is
+  sharded for single-view rendering — the "sequence/context parallel"
+  analog for rasterization (SURVEY.md section 5.7).
+
+Built on shard_map so the same program runs on the virtual CPU mesh in tests
+and on real TPU slices; no NCCL-style code, XLA collectives only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scgaussian_tpu.config import OptimizationConfig, RasterizerConfig, TrainExtras
+from scgaussian_tpu.core.cameras import Camera
+from scgaussian_tpu.losses import l1_loss, ssim
+from scgaussian_tpu.model.gaussians import GaussianModel
+from scgaussian_tpu.model.matches import MatchBundle, matchloss_from_renderdepth
+from scgaussian_tpu.train import optim
+from scgaussian_tpu.train.main_stage import lr_tree, render_model
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()[: (n_devices or len(jax.devices()))]
+    return Mesh(jax.make_mesh((len(devs),), (axis,), devices=devs).devices, (axis,))
+
+
+def dp_train_step(
+    mesh: Mesh,
+    model: GaussianModel,
+    opt_state: optim.AdamState,
+    bundle: MatchBundle,
+    cameras: Camera,  # batched pytree: leaves [D, ...] (same static H/W)
+    gt_images: jnp.ndarray,  # [D, 3, H, W]
+    view_idx: jnp.ndarray,  # [D]
+    iteration: jnp.ndarray,
+    bg_color: jnp.ndarray,  # [3]
+    opt_cfg: OptimizationConfig,
+    raster: RasterizerConfig = RasterizerConfig(),
+    extras: TrainExtras = TrainExtras(),
+    backend: str = "tpu",
+) -> Tuple[GaussianModel, optim.AdamState, jnp.ndarray]:
+    """One data-parallel step: per-device camera, psum'd grads, replicated
+    Adam. Returns (model, opt_state, mean_loss)."""
+    axis = mesh.axis_names[0]
+
+    def per_device(params, cam, gt, vid):
+        # cam/gt/vid arrive with a leading per-device batch dim of 1
+        cam = jax.tree_util.tree_map(lambda x: x[0], cam)
+        gt = gt[0]
+        vid = vid[0]
+
+        def loss_fn(p):
+            m = dataclasses.replace(model, params=p)
+            out = render_model(cam, m, bg_color, backend=backend, raster=raster)
+            ll1 = l1_loss(out.render, gt)
+            loss = (1 - opt_cfg.lambda_dssim) * ll1 + opt_cfg.lambda_dssim * (
+                1 - ssim(out.render, gt)
+            )
+            loss = loss + extras.render_match_loss_weight * matchloss_from_renderdepth(
+                bundle, vid, out.rendered_depth
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        return loss, grads
+
+    shard = functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    loss, grads = shard(per_device)(model.params, cameras, gt_images, view_idx)
+
+    lrs = lr_tree(model.params, opt_cfg, model.spatial_lr_scale, iteration)
+    new_params, opt_state = optim.apply(model.params, grads, opt_state, lrs)
+    model = dataclasses.replace(model, params=new_params)
+    return model, opt_state, loss
+
+
+def stack_cameras(cams) -> Camera:
+    """Stack a list of same-size Camera pytrees into leading-dim batches."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)

@@ -79,8 +79,10 @@ def _chunk_geometry(data_ref, sl, pixx, pixy):
     G = jnp.exp(power)
     alpha_raw = op * G
     alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
-    live = (power <= 0.0) & (alpha >= ALPHA_MIN)
-    alpha = jnp.where(live, alpha, 0.0)
+    # float 0/1 masks throughout: i1 vectors in loop carries fail to legalize
+    # in Mosaic (scf.for legalization error on the tunneled toolchain)
+    live = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), 1.0, 0.0)
+    alpha = alpha * live
     return dx, dy, ca, cb, cc, op, G, alpha, live
 
 
@@ -100,20 +102,22 @@ def _fwd_kernel(nx: int, tilesize: int, counts_ref, tri_ref, data_ref, out_ref):
         logT_after = logT + S
         # Sticky CUDA early-stop: within the chunk, carry+S is non-increasing
         # so the per-column test reproduces "first crossing excludes the rest";
-        # `done` propagates the crossing across chunk boundaries.
-        inc = (logT_after >= LOG_T_EPS) & jnp.logical_not(done)
+        # `done` (float 0/1) propagates the crossing across chunk boundaries.
+        inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done)
         T_before = jnp.exp(logT_after - l)
-        w = jnp.where(inc, alpha * T_before, 0.0)
+        w = alpha * T_before * inc
         attrs = data_ref[0, ROW_R : ROW_D + 1, sl]  # [4, C] rgb + depth
         acc = acc + jax.lax.dot_general(
             w, attrs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        logT = logT + jnp.sum(jnp.where(inc, l, 0.0), axis=1, keepdims=True)
-        done = done | (logT_after[:, CHUNK - 1 :] < LOG_T_EPS)
+        logT = logT + jnp.sum(l * inc, axis=1, keepdims=True)
+        done = jnp.maximum(
+            done, jnp.where(logT_after[:, CHUNK - 1 :] < LOG_T_EPS, 1.0, 0.0)
+        )
         return logT, done, acc
 
     logT0 = jnp.zeros((P, 1), jnp.float32)
-    done0 = jnp.zeros((P, 1), bool)
+    done0 = jnp.zeros((P, 1), jnp.float32)
     acc0 = jnp.zeros((P, 4), jnp.float32)
     logT, _, acc = jax.lax.fori_loop(0, nchunks, body, (logT0, done0, acc0))
     out = jnp.concatenate(
@@ -139,14 +143,16 @@ def _bwd_kernel(nx: int, tilesize: int, counts_ref, tri_ref, data_ref, gout_ref,
         l = jnp.log1p(-alpha)
         S = jnp.dot(l, tri_ref[:], preferred_element_type=jnp.float32)
         logT_after = logT + S
-        inc = (logT_after >= LOG_T_EPS) & jnp.logical_not(done)
+        inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done)
         T_before = jnp.exp(logT_after - l)
-        w = jnp.where(inc, alpha * T_before, 0.0)
+        w = alpha * T_before * inc
         attrs = data_ref[0, ROW_R : ROW_D + 1, sl]
         # g_w[p, c] = sum_ch g_attrs[p, ch] * attrs[ch, c]
         g_w = jnp.dot(g_attrs, attrs, preferred_element_type=jnp.float32)
-        logT_next = logT + jnp.sum(jnp.where(inc, l, 0.0), axis=1, keepdims=True)
-        done_next = done | (logT_after[:, CHUNK - 1 :] < LOG_T_EPS)
+        logT_next = logT + jnp.sum(l * inc, axis=1, keepdims=True)
+        done_next = jnp.maximum(
+            done, jnp.where(logT_after[:, CHUNK - 1 :] < LOG_T_EPS, 1.0, 0.0)
+        )
         return (
             sl, dx, dy, ca, cb, cc, op, G, alpha, live, inc, T_before, w, g_w,
             logT_next, done_next,
@@ -160,7 +166,7 @@ def _bwd_kernel(nx: int, tilesize: int, counts_ref, tri_ref, data_ref, gout_ref,
         return logT_next, done_next, total
 
     logT0 = jnp.zeros((P, 1), jnp.float32)
-    done0 = jnp.zeros((P, 1), bool)
+    done0 = jnp.zeros((P, 1), jnp.float32)
     _, _, total = jax.lax.fori_loop(
         0, nchunks, body1, (logT0, done0, jnp.zeros((P, 1), jnp.float32))
     )
@@ -174,9 +180,7 @@ def _bwd_kernel(nx: int, tilesize: int, counts_ref, tri_ref, data_ref, gout_ref,
         prefix_inc = prefix + jnp.dot(gww, tri_ref[:], preferred_element_type=jnp.float32)
         A = total - prefix_inc  # suffix sum over j > i of g_w_j w_j
         one_m = 1.0 - alpha
-        d_alpha = jnp.where(
-            inc & live, g_w * T_before - (A + g_logT) / one_m, 0.0
-        )
+        d_alpha = (g_w * T_before - (A + g_logT) / one_m) * inc * live
         # CUDA-convention: the 0.99 cap is ignored in the backward pass
         # (backward.cu uses dL_dG = opacity * dL_dalpha, dL_dopacity = G * dL_dalpha).
         d_op = G * d_alpha
