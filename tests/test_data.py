@@ -1,0 +1,125 @@
+"""Data-layer tests: COLMAP parser round-trips, PLY round-trips, reader
+split logic on generated fixtures (SURVEY.md section 4 item 5)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from scgaussian_tpu.data import colmap, ply
+from scgaussian_tpu.data.readers import read_colmap_scene
+from scgaussian_tpu.data.scene import Scene, select_scene_reader
+from scgaussian_tpu.data.synthetic import generate_scene
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synthscene")
+    generate_scene(str(d), n_views=10, n_gaussians=40, n_points=80, width=64, height=48)
+    return str(d)
+
+
+def test_colmap_binary_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    cams = {
+        1: colmap.ColmapCamera(1, "PINHOLE", 640, 480, np.array([500.0, 500.0, 320.0, 240.0])),
+        2: colmap.ColmapCamera(2, "SIMPLE_PINHOLE", 320, 240, np.array([250.0, 160.0, 120.0])),
+    }
+    colmap.write_intrinsics_binary(str(tmp_path / "cameras.bin"), cams)
+    back = colmap.read_intrinsics_binary(str(tmp_path / "cameras.bin"))
+    assert back.keys() == cams.keys()
+    for k in cams:
+        assert back[k].model == cams[k].model
+        np.testing.assert_allclose(back[k].params, cams[k].params)
+
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    ims = {
+        5: colmap.ColmapImage(
+            5, q, np.array([0.1, 0.2, 0.3]), 1, "photo.png",
+            rng.uniform(0, 100, (7, 2)), np.arange(7, dtype=np.int64),
+        )
+    }
+    colmap.write_extrinsics_binary(str(tmp_path / "images.bin"), ims)
+    back = colmap.read_extrinsics_binary(str(tmp_path / "images.bin"))
+    assert back[5].name == "photo.png"
+    np.testing.assert_allclose(back[5].qvec, q)
+    np.testing.assert_allclose(back[5].xys, ims[5].xys)
+    np.testing.assert_array_equal(back[5].point3D_ids, ims[5].point3D_ids)
+
+    xyz = rng.normal(size=(11, 3))
+    rgb = rng.integers(0, 255, (11, 3))
+    err = rng.uniform(size=11)
+    colmap.write_points3D_binary(str(tmp_path / "points3D.bin"), xyz, rgb, err)
+    x2, r2, e2, pid = colmap.read_points3D_binary_pointid(str(tmp_path / "points3D.bin"))
+    np.testing.assert_allclose(x2, xyz)
+    np.testing.assert_allclose(r2, rgb)
+    assert pid[1] == 0 and pid[11] == 10
+
+
+def test_qvec_rotmat_roundtrip():
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        if q[0] < 0:
+            q = -q
+        R = colmap.qvec2rotmat(q)
+        q2 = colmap.rotmat2qvec(R)
+        np.testing.assert_allclose(q2, q, atol=1e-6)
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    props = {
+        "x": rng.normal(size=20).astype(np.float32),
+        "y": rng.normal(size=20).astype(np.float32),
+        "opacity": rng.normal(size=20).astype(np.float32),
+        "red": rng.integers(0, 255, 20).astype(np.uint8),
+    }
+    p = str(tmp_path / "t.ply")
+    ply.write_ply(p, props)
+    back = ply.read_ply(p)
+    for k in props:
+        np.testing.assert_array_equal(back[k], props[k])
+
+
+def test_colmap_scene_reader_split(scene_dir):
+    info = read_colmap_scene(scene_dir, "images", eval=True)
+    # LLFF split: 10 views -> test idx {0, 8}, train = linspace-3 of the other 8
+    assert len(info.test_cameras) == 2
+    assert len(info.train_cameras) == 3
+    names = [c.image_name for c in info.test_cameras]
+    assert names == ["img_000", "img_008"]
+    # train = idx 1..7,9 minus hold-out -> linspace over 8 -> positions 0, 3.5->4, 7
+    train_names = [c.image_name for c in info.train_cameras]
+    assert train_names == ["img_001", "img_005", "img_009"]
+    # near/far computed and sane
+    for c in info.train_cameras:
+        assert c.near_far is not None and c.near_far[0] > 0 and c.near_far[1] > c.near_far[0]
+    # match data present for all ordered train pairs
+    for a in train_names:
+        for b in train_names:
+            if a != b:
+                assert info.match_data[a][b].shape[1] == 2
+
+
+def test_scene_orchestration(scene_dir, tmp_path):
+    assert select_scene_reader(scene_dir) == "Colmap"
+    scene = Scene(
+        source_path=scene_dir,
+        model_path=str(tmp_path / "model"),
+        resolution=1,
+        eval=True,
+        shuffle=True,
+        seed=0,
+    )
+    assert len(scene.train_cameras) == 3
+    assert scene.bundle is not None
+    assert scene.bundle.num_pairs == 6
+    assert os.path.exists(tmp_path / "model" / "cameras.json")
+    # view ids map shuffled cameras back to bundle indices
+    ids = sorted(scene.view_id(c) for c in scene.train_cameras)
+    assert ids == [0, 1, 2]
+    # images loaded at full res (resolution=1)
+    assert scene.train_cameras[0].image.shape == (3, 48, 64)
