@@ -1,27 +1,28 @@
-"""Tile binning: Gaussian -> (tile, depth)-ordered per-tile index lists.
+"""Tile binning: Gaussian -> (tile, depth)-ordered entry ranges.
 
 TPU-native replacement for the CUDA duplicate-key radix sort
 (diff_gaussian_rasterization's duplicateWithKeys + cub radix sort + tile
-ranges). Instead of atomics and dynamic lists, everything is a fixed-shape
-XLA program:
+ranges). Designed around what XLA:TPU executes well — sorts and gathers —
+and deliberately avoids scatters (slow on TPU) everywhere:
 
   1. depth-sort the primitive axis (ascending view z, stable);
-  2. expand each Gaussian into one entry per covered tile using an
-     exclusive-prefix-sum + searchsorted "ragged expand" over a static entry
-     budget L;
-  3. lexicographic sort entries by (tile_id, depth_rank);
-  4. scatter entry -> (tile, position) into a padded [num_tiles, K] gather
-     table of original Gaussian indices.
+  2. expand each Gaussian into one entry per covered tile with a
+     prefix-sum + searchsorted "ragged expand" over a static budget L
+     (entries come out gaussian-major = depth-major);
+  3. ONE stable single-key sort by tile id — stability preserves the
+     depth order within each tile, so no composite (tile|depth) key is
+     needed; payloads carry the original Gaussian index and the pre-sort
+     entry position (used by the rasterizer's scatter-free backward);
+  4. per-tile ranges via searchsorted — per-tile lists are [start, start+k)
+     slices of the sorted entry array, no padded gather table.
 
-All outputs are index tensors (stop-gradient); the differentiable gather of
-Gaussian attributes happens in tile_raster.py so autodiff turns it into a
-scatter-add in the backward pass.
+All outputs are index tensors (stop-gradient); the differentiable use
+happens in tile_raster.py.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,13 +34,20 @@ from scgaussian_tpu.renderer.project import ProjectedGaussians, tile_rect
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TileBins:
-    """gather_idx[t, k] = original Gaussian index of the k-th (front-to-back)
-    splat of tile t, or the sentinel N for empty slots."""
+    """Entry e of the tile-sorted order refers to Gaussian
+    `orig_idx_sorted[e]` (sentinel N for empty/over-budget slots); tile t
+    owns entries [starts[t], starts[t] + counts[t])."""
 
-    gather_idx: jnp.ndarray  # [T, K] int32, sentinel = N
-    counts: jnp.ndarray  # [T] int32, clamped to K
-    total_entries: jnp.ndarray  # [] int32 — true duplicated entry count
-    overflow: jnp.ndarray  # [] int32 — entries dropped by the L budget or K cap
+    orig_idx_sorted: jnp.ndarray  # [L] int32, sentinel = N
+    presort_pos_sorted: jnp.ndarray  # [L] int32: pre-sort (gaussian-major) slot
+    starts: jnp.ndarray  # [T + 1] int32
+    counts: jnp.ndarray  # [T] int32 (uncapped; rasterizer caps at K)
+    seg_offsets: jnp.ndarray  # [N] int32: gaussian-major segment start (depth order)
+    seg_counts: jnp.ndarray  # [N] int32: tiles covered per depth-sorted Gaussian
+    order: jnp.ndarray  # [N] int32: depth-sort permutation (rank -> orig idx)
+    inv_order: jnp.ndarray  # [N] int32: orig idx -> rank
+    total_entries: jnp.ndarray  # [] int32
+    overflow: jnp.ndarray  # [] int32 — entries beyond the L budget
 
 
 def bin_gaussians(
@@ -47,32 +55,30 @@ def bin_gaussians(
     width: int,
     height: int,
     tile: int,
-    max_per_tile: int,
     entry_budget: int,
 ) -> TileBins:
     nx = (width + tile - 1) // tile
     ny = (height + tile - 1) // tile
     num_tiles = nx * ny
     n = proj.depth.shape[0]
-    K = max_per_tile
     L = entry_budget
 
     mean2d = jax.lax.stop_gradient(proj.mean2d)
     depth = jax.lax.stop_gradient(proj.depth)
 
-    order = depth_order(depth, proj.valid)  # [N]
+    order = depth_order(depth, proj.valid).astype(jnp.int32)  # [N] rank -> orig
+    inv_order = jnp.argsort(order).astype(jnp.int32)
     mean2d_s = mean2d[order]
     radius_s = proj.radius[order]
 
     rect_min, rect_max = tile_rect(mean2d_s, radius_s, width, height, tile)
     cov_w = rect_max[:, 0] - rect_min[:, 0]
-    cov_h = rect_max[:, 1] - rect_min[:, 1]
-    cov = cov_w * cov_h  # [N] tiles covered, 0 for culled
+    cov = cov_w * (rect_max[:, 1] - rect_min[:, 1])  # [N] tiles covered
 
-    offs = jnp.cumsum(cov) - cov  # exclusive prefix sum
+    offs = jnp.cumsum(cov) - cov  # exclusive prefix (gaussian-major segments)
     total = jnp.sum(cov)
 
-    # Ragged expand: entry e belongs to sorted-Gaussian gi with slot j.
+    # Ragged expand: entry e -> (depth-rank gi, slot j); gaussian-major order.
     e = jnp.arange(L, dtype=jnp.int32)
     gi = jnp.searchsorted(offs, e, side="right").astype(jnp.int32) - 1
     gi = jnp.clip(gi, 0, n - 1)
@@ -81,32 +87,30 @@ def bin_gaussians(
 
     tx = rect_min[gi, 0] + j % jnp.maximum(cov_w[gi], 1)
     ty = rect_min[gi, 1] + j // jnp.maximum(cov_w[gi], 1)
-    tile_e = jnp.where(valid_e, ty * nx + tx, num_tiles)
-    rank_e = jnp.where(valid_e, gi, n)
+    tile_e = jnp.where(valid_e, ty * nx + tx, num_tiles).astype(jnp.int32)
+    orig_e = jnp.where(valid_e, order[gi], n).astype(jnp.int32)
 
-    # Per-tile front-to-back order == (tile, depth rank) lexicographic sort.
-    tile_sorted, rank_sorted = jax.lax.sort((tile_e, rank_e), num_keys=2)
-
-    starts = jnp.searchsorted(tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32))
-    counts_full = (starts[1:] - starts[:-1]).astype(jnp.int32)
-    pos = jnp.arange(L, dtype=jnp.int32) - starts[tile_sorted]
-
-    in_table = (tile_sorted < num_tiles) & (pos < K)
-    dest = jnp.where(in_table, tile_sorted * K + pos, num_tiles * K)
-
-    orig_idx = jnp.where(rank_sorted < n, order[jnp.clip(rank_sorted, 0, n - 1)], n)
-    gather_flat = jnp.full((num_tiles * K,), n, dtype=jnp.int32)
-    gather_flat = gather_flat.at[dest].set(
-        orig_idx.astype(jnp.int32), mode="drop"
+    # Stable sort by tile id alone: entries are already depth-ordered, so
+    # stability gives per-tile front-to-back order (== CUDA's (tile, depth)
+    # radix key with stable instance tie-break).
+    tile_sorted, orig_sorted, pos_sorted = jax.lax.sort(
+        (tile_e, orig_e, e), num_keys=1, is_stable=True
     )
 
-    counts = jnp.minimum(counts_full, K)
-    overflow = jnp.maximum(total - jnp.int32(L), 0) + jnp.sum(
-        jnp.maximum(counts_full - K, 0)
-    )
+    starts = jnp.searchsorted(
+        tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]
+
     return TileBins(
-        gather_idx=gather_flat.reshape(num_tiles, K),
+        orig_idx_sorted=orig_sorted,
+        presort_pos_sorted=pos_sorted,
+        starts=starts,
         counts=counts,
+        seg_offsets=offs.astype(jnp.int32),
+        seg_counts=cov.astype(jnp.int32),
+        order=order,
+        inv_order=inv_order,
         total_entries=total,
-        overflow=overflow,
+        overflow=jnp.maximum(total - jnp.int32(L), 0),
     )

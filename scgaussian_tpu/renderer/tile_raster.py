@@ -224,11 +224,6 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def composite(tile_data, counts, nx, ny, tilesize):
-    return _composite_fwd_impl(tile_data, counts, nx, ny, tilesize)
-
-
 def _composite_fwd_impl(tile_data, counts, nx, ny, tilesize):
     T, _, K = tile_data.shape
     P = tilesize * tilesize
@@ -249,13 +244,7 @@ def _composite_fwd_impl(tile_data, counts, nx, ny, tilesize):
     )(counts, _tri_matrix(), tile_data)
 
 
-def _composite_fwd(tile_data, counts, nx, ny, tilesize):
-    out = _composite_fwd_impl(tile_data, counts, nx, ny, tilesize)
-    return out, (tile_data, counts)
-
-
-def _composite_bwd(nx, ny, tilesize, res, gout):
-    tile_data, counts = res
+def _composite_bwd_impl(tile_data, counts, gout, nx, ny, tilesize):
     T, _, K = tile_data.shape
     P = tilesize * tilesize
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -274,10 +263,102 @@ def _composite_bwd(nx, ny, tilesize, res, gout):
         grid_spec=grid_spec,
         interpret=_use_interpret(),
     )(counts, _tri_matrix(), tile_data, gout)
-    return ddata, None
+    return ddata
 
 
-composite.defvjp(_composite_fwd, _composite_bwd)
+# --------------------------------------------------------------------------
+# gather + composite with a scatter-free custom VJP
+#
+# Forward: ONE [L]-row gather (attrs by sorted entry -> sorted_attrs) plus a
+# contiguous-range gather (per-tile [start, start+K) slices -> tile_data),
+# then the Pallas kernel. Backward: the kernel's per-entry grads are routed
+# back to per-Gaussian grads without any duplicate-index scatter-add:
+#   entry grads -> (gather) tile-sorted order -> (unique-index permutation
+#   scatter) gaussian-major order -> cumsum + segment-difference -> grads per
+#   depth rank -> (gather by inv_order) grads per Gaussian.
+# Scatter-adds with duplicate indices are pathologically slow on TPU; the
+# only scatter left is a permutation (unique indices), and the reduction
+# over each Gaussian's covered tiles is a cumsum difference over its
+# CONTIGUOUS gaussian-major segment (binning emits entries gaussian-major).
+# --------------------------------------------------------------------------
+
+
+def _build_tile_data(attrs, bins, num_tiles, K):
+    L = bins.orig_idx_sorted.shape[0]
+    sorted_attrs = attrs[bins.orig_idx_sorted]  # [L, R]
+    k = jnp.arange(K, dtype=jnp.int32)
+    dest = bins.starts[:num_tiles, None] + k[None, :]  # [T, K]
+    valid_k = k[None, :] < jnp.minimum(bins.counts, K)[:, None]
+    rows = sorted_attrs[jnp.clip(dest, 0, L - 1)]  # [T, K, R]
+    rows = rows * valid_k[..., None]
+    return rows.transpose(0, 2, 1), valid_k  # [T, R, K]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def gather_composite(attrs, bins, nx, ny, tilesize, K):
+    tile_data, _ = _build_tile_data(attrs, bins, nx * ny, K)
+    counts = jnp.minimum(bins.counts, K)
+    return _composite_fwd_impl(tile_data, counts, nx, ny, tilesize)
+
+
+def _gather_composite_fwd(attrs, bins, nx, ny, tilesize, K):
+    tile_data, valid_k = _build_tile_data(attrs, bins, nx * ny, K)
+    counts = jnp.minimum(bins.counts, K)
+    out = _composite_fwd_impl(tile_data, counts, nx, ny, tilesize)
+    return out, (tile_data, counts, valid_k, bins, attrs.shape[0])
+
+
+def _gather_composite_bwd(nx, ny, tilesize, K, res, gout):
+    tile_data, counts, valid_k, bins, n_attr = res
+    T = nx * ny
+    L = bins.orig_idx_sorted.shape[0]
+    R = NUM_ROWS
+
+    ddata = _composite_bwd_impl(tile_data, counts, gout, nx, ny, tilesize)
+    d_rows = ddata.transpose(0, 2, 1) * valid_k[..., None]  # [T, K, R]
+    d_rows = d_rows.reshape(T * K, R)
+
+    # sorted entry e -> flat (t, k) slot in d_rows
+    e = jnp.arange(L, dtype=jnp.int32)
+    t = jnp.searchsorted(bins.starts, e, side="right").astype(jnp.int32) - 1
+    t_ok = (t >= 0) & (t < T)
+    t_c = jnp.clip(t, 0, T - 1)
+    k = e - bins.starts[t_c]
+    k_ok = (k >= 0) & (k < K)
+    flat = jnp.clip(t_c * K + k, 0, T * K - 1)
+    d_sorted = d_rows[flat] * (t_ok & k_ok)[:, None].astype(d_rows.dtype)  # [L, R]
+
+    # tile-sorted -> gaussian-major via the (unique) presort permutation
+    d_presort = jnp.zeros((L, R), d_sorted.dtype)
+    d_presort = d_presort.at[bins.presort_pos_sorted].set(
+        d_sorted, mode="drop", unique_indices=True
+    )
+
+    # per-Gaussian reduction over its contiguous segment: cumsum difference
+    csum = jnp.cumsum(d_presort, axis=0)  # [L, R]
+    seg_end = jnp.clip(bins.seg_offsets + bins.seg_counts - 1, 0, L - 1)
+    end_vals = csum[seg_end]  # [N, R]
+    start_prev = jnp.where(
+        (bins.seg_offsets > 0)[:, None],
+        csum[jnp.clip(bins.seg_offsets - 1, 0, L - 1)],
+        0.0,
+    )
+    sums_rank = jnp.where((bins.seg_counts > 0)[:, None], end_vals - start_prev, 0.0)
+
+    d_attrs = sums_rank[bins.inv_order]  # [N, R] back to original order
+    d_attrs = jnp.concatenate(
+        [d_attrs, jnp.zeros((n_attr - d_attrs.shape[0], R), d_attrs.dtype)], axis=0
+    )
+
+    from jax.dtypes import float0
+
+    d_bins = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, float0), bins
+    )
+    return d_attrs, d_bins
+
+
+gather_composite.defvjp(_gather_composite_fwd, _gather_composite_bwd)
 
 
 def rasterize(
@@ -292,48 +373,40 @@ def rasterize(
     """Full tile pipeline: bin (XLA) -> gather -> Pallas composite -> assemble.
 
     Returns (color [3,H,W], depth [1,H,W], alpha [1,H,W]); gradients flow to
-    all differentiable projected attributes through the gather's scatter-add
-    VJP and the kernel's custom VJP.
+    all differentiable projected attributes through the scatter-free custom
+    VJP of gather_composite.
     """
     from scgaussian_tpu.renderer.binning import bin_gaussians
 
     n = proj.depth.shape[0]
     if entry_budget is None:
         entry_budget = max(8 * n, 1 << 14)
-    bins = bin_gaussians(proj, width, height, tile, max_per_tile, entry_budget)
+    bins = bin_gaussians(proj, width, height, tile, entry_budget)
     nx = (width + tile - 1) // tile
     ny = (height + tile - 1) // tile
 
-    idx = bins.gather_idx.reshape(-1)  # [T*K], sentinel n -> zero row
+    # dense [N + 1, R] attribute matrix; the +1 row is the zero sentinel
+    zeros = jnp.zeros_like(proj.depth)
+    attrs = jnp.stack(
+        [
+            proj.mean2d[:, 0],
+            proj.mean2d[:, 1],
+            proj.conic[:, 0],
+            proj.conic[:, 1],
+            proj.conic[:, 2],
+            proj.color[:, 0],
+            proj.color[:, 1],
+            proj.color[:, 2],
+            proj.depth,
+            proj.opacity,
+            zeros,
+            zeros,
+        ],
+        axis=1,
+    )
+    attrs = jnp.concatenate([attrs, jnp.zeros((1, NUM_ROWS), attrs.dtype)], axis=0)
 
-    def pad(x):
-        return jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
-
-    mean2d = pad(proj.mean2d)[idx]  # [T*K, 2]
-    conic = pad(proj.conic)[idx]
-    color = pad(proj.color)[idx]
-    depth = pad(proj.depth)[idx]
-    opac = pad(proj.opacity)[idx]
-
-    T = nx * ny
-    K = max_per_tile
-    rows = [
-        mean2d[:, 0],
-        mean2d[:, 1],
-        conic[:, 0],
-        conic[:, 1],
-        conic[:, 2],
-        color[:, 0],
-        color[:, 1],
-        color[:, 2],
-        depth,
-        opac,
-        jnp.zeros_like(depth),
-        jnp.zeros_like(depth),
-    ]
-    tile_data = jnp.stack(rows, axis=0).reshape(NUM_ROWS, T, K).swapaxes(0, 1)
-
-    out = composite(tile_data, bins.counts, nx, ny, tile)  # [T, P, 8]
+    out = gather_composite(attrs, bins, nx, ny, tile, max_per_tile)  # [T, P, 8]
 
     img = out.reshape(ny, nx, tile, tile, 8).transpose(0, 2, 1, 3, 4)
     img = img.reshape(ny * tile, nx * tile, 8)[:height, :width]

@@ -1,0 +1,91 @@
+"""Sharding tests on the virtual 8-device CPU mesh (SURVEY.md section 4
+item 4): data-parallel step correctness vs the single-device program."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scgaussian_tpu.config import OptimizationConfig, RasterizerConfig, TrainExtras
+from scgaussian_tpu.parallel import dp
+from scgaussian_tpu.train import optim, pipeline
+from scgaussian_tpu.losses import l1_loss, ssim
+from scgaussian_tpu.model.matches import matchloss_from_renderdepth
+from scgaussian_tpu.train.main_stage import lr_tree, render_model
+
+from tests.synthetic_scene import make_synthetic
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = make_synthetic(V=3, K=24, W=48, H=32)
+    model, _ = pipeline.setup_from_matches(
+        scene["bundle"], jax.random.key(0), 3, 1.0,
+        extras=TrainExtras(bg_capacity=128, init_iterations=100),
+    )
+    return scene, model
+
+
+def test_dp_step_matches_single_device(setup):
+    """8 devices all rendering the SAME camera must produce exactly the
+    single-device gradient (pmean of identical grads)."""
+    scene, model = setup
+    assert len(jax.devices()) == 8
+    mesh = dp.make_mesh(8)
+    bundle = scene["bundle"]
+    opt_cfg = OptimizationConfig()
+    extras = TrainExtras(bg_capacity=128)
+    raster = RasterizerConfig(max_per_tile=256, entry_budget=8192)
+
+    cams = dp.stack_cameras([scene["cams"][0]] * 8)
+    gts = jnp.stack([scene["gts"][0]] * 8)
+    vids = jnp.zeros((8,), jnp.int32)
+
+    opt_state = optim.init(model.params)
+    m_dp, o_dp, loss_dp = dp.dp_train_step(
+        mesh, model, opt_state, bundle, cams, gts, vids, jnp.int32(1),
+        jnp.zeros(3), opt_cfg, raster=raster, extras=extras, backend="oracle",
+    )
+
+    # single-device equivalent
+    def loss_fn(params):
+        m = dataclasses.replace(model, params=params)
+        out = render_model(scene["cams"][0], m, jnp.zeros(3), backend="oracle")
+        ll1 = l1_loss(out.render, scene["gts"][0])
+        loss = 0.8 * ll1 + 0.2 * (1 - ssim(out.render, scene["gts"][0]))
+        return loss + 0.3 * matchloss_from_renderdepth(bundle, jnp.int32(0), out.rendered_depth)
+
+    loss_1, grads = jax.value_and_grad(loss_fn)(model.params)
+    lrs = lr_tree(model.params, opt_cfg, 1.0, jnp.int32(1))
+    params_1, _ = optim.apply(model.params, grads, optim.init(model.params), lrs)
+
+    np.testing.assert_allclose(float(loss_dp), float(loss_1), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m_dp.params), jax.tree_util.tree_leaves(params_1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_dp_step_different_cameras_runs(setup):
+    scene, model = setup
+    mesh = dp.make_mesh(8)
+    cams = dp.stack_cameras([scene["cams"][i % 3] for i in range(8)])
+    gts = jnp.stack([scene["gts"][i % 3] for i in range(8)])
+    vids = jnp.asarray([i % 3 for i in range(8)], jnp.int32)
+    m2, o2, loss = dp.dp_train_step(
+        mesh, model, optim.init(model.params), scene["bundle"], cams, gts, vids,
+        jnp.int32(1), jnp.zeros(3), OptimizationConfig(),
+        raster=RasterizerConfig(max_per_tile=256, entry_budget=8192),
+        extras=TrainExtras(bg_capacity=128), backend="oracle",
+    )
+    assert np.isfinite(float(loss))
+    # params actually moved
+    diff = sum(
+        float(jnp.sum(jnp.abs(a - b)))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(m2.params), jax.tree_util.tree_leaves(model.params)
+        )
+    )
+    assert diff > 0
