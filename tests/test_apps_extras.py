@@ -1,0 +1,113 @@
+"""Tests for auxiliary apps: match extraction (SIFT fallback), video
+rendering path factories, network GUI protocol."""
+
+import json
+import os
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+
+def test_match_extraction_sift(tmp_path):
+    """SIFT matcher on textured synthetic views produces MAGSAC-filtered
+    normalized matches in the reference match_data.npy format."""
+    import cv2
+
+    from scgaussian_tpu.apps.get_match_info import extract_matches
+
+    rng = np.random.default_rng(0)
+    base = np.full((160, 200, 3), 40, np.uint8)
+    for _ in range(120):  # structured texture: SIFT needs corners, not noise
+        x, y = rng.integers(5, 195), rng.integers(5, 155)
+        c = tuple(int(v) for v in rng.integers(60, 255, 3))
+        if rng.random() < 0.5:
+            cv2.circle(base, (x, y), int(rng.integers(3, 9)), c, -1)
+        else:
+            s = int(rng.integers(3, 10))
+            cv2.rectangle(base, (x - s, y - s), (x + s, y + s), c, -1)
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    # simulate 10 shifted views of the same texture (homographies)
+    for v in range(10):
+        M = np.float32([[1, 0, -v * 3], [0, 1, -v * 2]])
+        warped = cv2.warpAffine(base, M, (200, 160))
+        cv2.imwrite(str(img_dir / f"v_{v:03d}.png"), warped)
+
+    md = extract_matches(str(img_dir), str(tmp_path / "match_data.npy"), "sift", 500)
+    assert os.path.exists(tmp_path / "match_data.npy")
+    names = sorted(md.keys())
+    assert len(names) == 3
+    a, b = names[0], names[1]
+    m_ab, m_ba = md[a][b], md[b][a]
+    assert m_ab.shape == m_ba.shape and m_ab.shape[0] > 20
+    assert (m_ab >= 0).all() and (m_ab <= 1).all()
+    # shifted texture: matches differ by the known translation
+    dx = (m_ba[:, 0] - m_ab[:, 0]) * 200
+    assert abs(np.median(dx) - (-3 * (int(names[1].split("_")[1]) - int(names[0].split("_")[1])))) < 1.5
+
+
+def test_tanks_video_path(tmp_path):
+    from scgaussian_tpu.data.synthetic import generate_scene
+    from scgaussian_tpu.data.readers import create_tanks_spiral
+
+    d = tmp_path / "Tanks_scene"
+    d.mkdir()
+    generate_scene(str(d), n_views=10, n_gaussians=20, n_points=40, width=48, height=32)
+    info = create_tanks_spiral(str(d))
+    # 3 train views -> 2 segments x 30 poses, there and back = 120
+    assert len(info.test_cameras) == 120
+    c = info.test_cameras[0]
+    assert c.image is None and c.width == 48
+
+
+def test_network_gui_protocol():
+    from scgaussian_tpu.viewer.network_gui import NetworkGUI
+
+    gui = NetworkGUI(port=0)
+    port = gui.listener.getsockname()[1]
+
+    msg = {
+        "resolution_x": 32,
+        "resolution_y": 24,
+        "train": True,
+        "fov_y": 0.7,
+        "fov_x": 0.9,
+        "z_near": 0.01,
+        "z_far": 100.0,
+        "shs_python": False,
+        "rot_scale_python": False,
+        "keep_alive": True,
+        "scaling_modifier": 1.0,
+        "view_matrix": list(np.eye(4).flatten().astype(float)),
+        "view_projection_matrix": list(np.eye(4).flatten().astype(float)),
+    }
+
+    received = {}
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port))
+        payload = json.dumps(msg).encode()
+        s.sendall(len(payload).to_bytes(4, "little") + payload)
+        img = s.recv(32 * 24 * 3, socket.MSG_WAITALL)
+        n = int.from_bytes(s.recv(4), "little")
+        received["verify"] = s.recv(n).decode()
+        received["img_len"] = len(img)
+        s.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    for _ in range(100):
+        gui.try_connect()
+        if gui.conn is not None:
+            break
+    cam, do_training, *_ = gui.receive()
+    assert cam["width"] == 32 and do_training
+    # y/z flip then transpose of identity stays sign-flipped identity
+    assert cam["world_view"].shape == (4, 4)
+    gui.send(bytes(32 * 24 * 3), "ok")
+    t.join()
+    assert received["verify"] == "ok"
+    assert received["img_len"] == 32 * 24 * 3
+    gui.close()
