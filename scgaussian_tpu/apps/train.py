@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init_iterations", type=int, default=2_000)
     p.add_argument("--bg_capacity", type=int, default=65536)
     p.add_argument("--backend", type=str, default="tpu", choices=["tpu", "oracle"])
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler device trace into this dir")
+    p.add_argument("--no_tensorboard", action="store_true")
     return p
 
 
@@ -152,13 +155,17 @@ def main(argv=None):
     )
 
     # ---- main stage (`train.py:99-212`)
+    from scgaussian_tpu.utils.logging import TrainLogger
+    from scgaussian_tpu.utils.profiling import StepTimer, trace
+
     test_iterations = set(args.test_iterations)
     save_iterations = set(args.save_iterations) | {args.iterations}
     ckpt_iterations = set(args.checkpoint_iterations)
     raster = RasterizerConfig()
 
-    log_path = os.path.join(args.model_path, "train_log.jsonl")
-    log_f = open(log_path, "a")
+    logger = TrainLogger(args.model_path, use_tensorboard=not args.no_tensorboard)
+    cam0 = scene.train_cameras[0]
+    timer = StepTimer(pixels_per_step=cam0.width * cam0.height)
     t_start = time.time()
     ema = {"loss": 0.0}
 
@@ -183,8 +190,12 @@ def main(argv=None):
         )
         return float(np.mean(l1s)), float(np.mean(psnrs))
 
-    def callback(iteration, model, metrics):
+    timer.start()
+
+    def callback(iteration, model, metrics, opt_state=None):
+        dt = timer.stop()
         ema["loss"] = 0.4 * float(metrics.loss) + 0.6 * ema["loss"]
+        logger.step(iteration, float(metrics.l1), float(metrics.loss), dt)
         if iteration % 100 == 0 or iteration == 1:
             rec = {
                 "iter": iteration,
@@ -193,47 +204,64 @@ def main(argv=None):
                 "l1": float(metrics.l1),
                 "match_loss": float(metrics.match_loss),
                 "visible": int(metrics.num_visible),
+                "rays_per_s": timer.rays_per_s,
                 "elapsed_s": time.time() - t_start,
             }
-            log_f.write(json.dumps(rec) + "\n")
-            log_f.flush()
-            print(f"[{iteration}] loss {ema['loss']:.5f} visible {rec['visible']}")
+            logger.json(rec)
+            print(
+                f"[{iteration}] loss {ema['loss']:.5f} visible {rec['visible']} "
+                f"({timer.rays_per_s/1e6:.2f} Mrays/s)"
+            )
         if iteration in test_iterations:
             if scene.test_cameras:
-                evaluate(model, scene.test_cameras, "test", iteration)
-            evaluate(model, scene.train_cameras, "train", iteration)
+                l1t, pt = evaluate(model, scene.test_cameras, "test", iteration)
+                logger.eval("test", l1t, pt, iteration)
+            l1t, pt = evaluate(model, scene.train_cameras, "train", iteration)
+            logger.eval("train", l1t, pt, iteration)
+            logger.histogram(
+                "scene/opacity_histogram", model.get_opacity(), iteration
+            )
+            logger.scalar(
+                "total_points", int(np.asarray(model.alive_mask()).sum()), iteration
+            )
         if iteration in save_iterations:
             print(f"\n[ITER {iteration}] Saving Gaussians")
             model_io.save_ply(
                 model, os.path.join(scene.point_cloud_dir(iteration), "point_cloud.ply")
             )
+        if iteration in ckpt_iterations and opt_state is not None:
+            print(f"\n[ITER {iteration}] Saving Checkpoint")
+            model_io.save_checkpoint(
+                os.path.join(args.model_path, f"chkpnt{iteration}.npz"),
+                model, opt_state, iteration,
+            )
+        timer.start()
 
     rng, main_rng = jax.random.split(rng)
-    state = pipeline.run_main_stage(
-        model,
-        scene.bundle,
-        [c.camera for c in scene.train_cameras],
-        [c.gt_image() for c in scene.train_cameras],
-        view_ids=[scene.view_id(c) for c in scene.train_cameras],
-        rng=main_rng,
-        opt_cfg=opt_cfg,
-        raster=raster,
-        extras=extras,
-        white_background=args.white_background,
-        is_dtu=scene.is_dtu,
-        backend=args.backend,
-        cameras_extent=scene.cameras_extent,
-        callback=callback,
-    )
-    for it in ckpt_iterations:
-        pass  # per-iteration checkpoints handled below if requested at end
+    with trace(args.profile_dir):
+        state = pipeline.run_main_stage(
+            model,
+            scene.bundle,
+            [c.camera for c in scene.train_cameras],
+            [c.gt_image() for c in scene.train_cameras],
+            view_ids=[scene.view_id(c) for c in scene.train_cameras],
+            rng=main_rng,
+            opt_cfg=opt_cfg,
+            raster=raster,
+            extras=extras,
+            white_background=args.white_background,
+            is_dtu=scene.is_dtu,
+            backend=args.backend,
+            cameras_extent=scene.cameras_extent,
+            callback=callback,
+        )
     model_io.save_checkpoint(
         os.path.join(args.model_path, f"chkpnt{args.iterations}.npz"),
         state.model,
         state.opt_state,
         args.iterations,
     )
-    log_f.close()
+    logger.close()
     print("\nTraining complete.")
     return state
 

@@ -156,6 +156,6 @@ def run_main_stage(
                 model, opt_state = reset_opacity(model, opt_state)
 
         if callback is not None:
-            callback(iteration, model, metrics)
+            callback(iteration, model, metrics, opt_state=opt_state)
 
     return TrainState(model=model, opt_state=opt_state, iteration=iterations)

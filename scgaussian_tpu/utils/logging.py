@@ -1,0 +1,61 @@
+"""Training observability: TensorBoard + JSONL writers (SURVEY.md 5.5).
+
+Matches the reference's TensorBoard scalars (`train.py:236-276`: train
+L1/total loss, iter_time, periodic test/train L1+PSNR, opacity histogram,
+total point count) with the same tag names, via torch.utils.tensorboard
+(available CPU-only) behind an import guard like the reference
+(`train.py:31-35`); always also writes machine-readable JSONL."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+try:
+    from torch.utils.tensorboard import SummaryWriter
+
+    TENSORBOARD_FOUND = True
+except ImportError:  # pragma: no cover
+    SummaryWriter = None
+    TENSORBOARD_FOUND = False
+
+
+class TrainLogger:
+    def __init__(self, model_path: str, use_tensorboard: bool = True):
+        self.jsonl = open(os.path.join(model_path, "train_log.jsonl"), "a")
+        self.tb = None
+        if use_tensorboard and TENSORBOARD_FOUND:
+            self.tb = SummaryWriter(model_path)
+        elif use_tensorboard:
+            print("Tensorboard not available: not logging progress")
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        if self.tb is not None:
+            self.tb.add_scalar(tag, value, step)
+
+    def step(self, iteration: int, l1: float, total: float, iter_time: float) -> None:
+        """`train.py:237-240` tags."""
+        self.scalar("train_loss_patches/l1_loss", l1, iteration)
+        self.scalar("train_loss_patches/total_loss", total, iteration)
+        self.scalar("iter_time", iter_time, iteration)
+
+    def eval(self, name: str, l1: float, psnr: float, iteration: int) -> None:
+        """`train.py:270-271` tags."""
+        self.scalar(f"{name}/loss_viewpoint - l1_loss", l1, iteration)
+        self.scalar(f"{name}/loss_viewpoint - psnr", psnr, iteration)
+
+    def histogram(self, tag: str, values, step: int) -> None:
+        if self.tb is not None:
+            import numpy as np
+
+            self.tb.add_histogram(tag, np.asarray(values), step)
+
+    def json(self, record: dict) -> None:
+        self.jsonl.write(json.dumps(record) + "\n")
+        self.jsonl.flush()
+
+    def close(self) -> None:
+        self.jsonl.close()
+        if self.tb is not None:
+            self.tb.close()
