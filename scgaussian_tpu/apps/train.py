@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler device trace into this dir")
     p.add_argument("--no_tensorboard", action="store_true")
+    p.add_argument("--detect_anomaly", action="store_true",
+                   help="enable jax_debug_nans (the torch detect_anomaly analog)")
     return p
 
 
@@ -130,29 +132,57 @@ def main(argv=None):
         f"{len(scene.test_cameras)} test cameras, extent {scene.cameras_extent:.3f}"
     )
 
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+
     rng = jax.random.key(args.seed)
     rng, init_rng = jax.random.split(rng)
 
-    # ---- init stage (`train.py:49-97`)
-    t0 = time.time()
-    model, init_result = pipeline.setup_from_matches(
-        scene.bundle,
-        init_rng,
-        sh_degree=args.sh_degree,
-        spatial_lr_scale=scene.cameras_extent,
-        extras=extras,
-    )
-    print(
-        f"[Init Stage] {extras.init_iterations} iters in {time.time()-t0:.1f}s, "
-        f"final loss {float(init_result.final_loss):.5f}, "
-        f"{model.num_ray} ray Gaussians promoted"
-    )
-    model_io.save_matchpoints(
-        scene.bundle,
-        np.asarray(init_result.best_z),
-        scene.base_names,
-        scene.init_point_cloud_dir(extras.init_iterations),
-    )
+    first_iter = 0
+    restored_opt = None
+    if args.start_checkpoint:
+        # Resume: skip init+promotion, restore the full hybrid state. (The
+        # reference's capture/restore path is latently broken for the ray
+        # model — SURVEY.md 5.4 — here the checkpoint holds everything.)
+        data = np.load(args.start_checkpoint)
+        nr = int(data["num_ray"])
+        from scgaussian_tpu.model.gaussians import create_model
+        from scgaussian_tpu.train import optim as optim_mod
+
+        template = create_model(
+            np.zeros((nr, 3), np.float32),
+            np.ones((nr, 3), np.float32),
+            np.ones((nr,), np.float32),
+            np.zeros((nr, 3), np.float32),
+            int(data["max_sh_degree"]),
+            float(data["spatial_lr_scale"]),
+            bg_capacity=int(data["bg_capacity"]),
+        )
+        model, restored_opt, first_iter = model_io.load_checkpoint(
+            args.start_checkpoint, template, optim_mod.init(template.params)
+        )
+        print(f"Resumed from {args.start_checkpoint} at iteration {first_iter}")
+    else:
+        # ---- init stage (`train.py:49-97`)
+        t0 = time.time()
+        model, init_result = pipeline.setup_from_matches(
+            scene.bundle,
+            init_rng,
+            sh_degree=args.sh_degree,
+            spatial_lr_scale=scene.cameras_extent,
+            extras=extras,
+        )
+        print(
+            f"[Init Stage] {extras.init_iterations} iters in {time.time()-t0:.1f}s, "
+            f"final loss {float(init_result.final_loss):.5f}, "
+            f"{model.num_ray} ray Gaussians promoted"
+        )
+        model_io.save_matchpoints(
+            scene.bundle,
+            np.asarray(init_result.best_z),
+            scene.base_names,
+            scene.init_point_cloud_dir(extras.init_iterations),
+        )
 
     # ---- main stage (`train.py:99-212`)
     from scgaussian_tpu.utils.logging import TrainLogger
@@ -254,6 +284,8 @@ def main(argv=None):
             backend=args.backend,
             cameras_extent=scene.cameras_extent,
             callback=callback,
+            first_iteration=first_iter,
+            opt_state=restored_opt,
         )
     model_io.save_checkpoint(
         os.path.join(args.model_path, f"chkpnt{args.iterations}.npz"),

@@ -231,6 +231,8 @@ def save_checkpoint(path: str, model: GaussianModel, opt_state: optim.AdamState,
         num_leaves=len(leaves),
         max_sh_degree=model.max_sh_degree,
         spatial_lr_scale=model.spatial_lr_scale,
+        num_ray=model.num_ray,
+        bg_capacity=model.bg_capacity,
         **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
     )
 

@@ -80,7 +80,9 @@ def bin_gaussians(
 
     # Ragged expand: entry e -> (depth-rank gi, slot j); gaussian-major order.
     e = jnp.arange(L, dtype=jnp.int32)
-    gi = jnp.searchsorted(offs, e, side="right").astype(jnp.int32) - 1
+    gi = jnp.searchsorted(
+        offs, e, side="right", method="scan_unrolled"
+    ).astype(jnp.int32) - 1
     gi = jnp.clip(gi, 0, n - 1)
     j = e - offs[gi]
     valid_e = e < total
@@ -88,14 +90,27 @@ def bin_gaussians(
     tx = rect_min[gi, 0] + j % jnp.maximum(cov_w[gi], 1)
     ty = rect_min[gi, 1] + j // jnp.maximum(cov_w[gi], 1)
     tile_e = jnp.where(valid_e, ty * nx + tx, num_tiles).astype(jnp.int32)
-    orig_e = jnp.where(valid_e, order[gi], n).astype(jnp.int32)
 
-    # Stable sort by tile id alone: entries are already depth-ordered, so
-    # stability gives per-tile front-to-back order (== CUDA's (tile, depth)
-    # radix key with stable instance tie-break).
-    tile_sorted, orig_sorted, pos_sorted = jax.lax.sort(
-        (tile_e, orig_e, e), num_keys=1, is_stable=True
-    )
+    # Stable sort by tile id: entries are already depth-ordered, so stability
+    # gives per-tile front-to-back order (== CUDA's (tile, depth) radix key
+    # with stable instance tie-break). When (num_tiles+1) * L fits int32 the
+    # key and the entry position are packed into ONE int32 so the sort runs
+    # single-operand (fastest XLA:TPU sort); the packed form is automatically
+    # stable.
+    if (num_tiles + 1) * L < 2**31:
+        packed = tile_e * jnp.int32(L) + e
+        packed_sorted = jax.lax.sort(packed)
+        pos_sorted = packed_sorted % jnp.int32(L)
+        tile_sorted = packed_sorted // jnp.int32(L)
+        gi_sorted = gi[pos_sorted]
+        orig_sorted = jnp.where(
+            pos_sorted < total, order[gi_sorted], n
+        ).astype(jnp.int32)
+    else:
+        orig_e = jnp.where(valid_e, order[gi], n).astype(jnp.int32)
+        tile_sorted, orig_sorted, pos_sorted = jax.lax.sort(
+            (tile_e, orig_e, e), num_keys=1, is_stable=True
+        )
 
     starts = jnp.searchsorted(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32)

@@ -82,21 +82,25 @@ def run_main_stage(
     cameras_extent: float = 1.0,
     iterations: Optional[int] = None,
     callback: Optional[Callable[[int, GaussianModel, StepMetrics], None]] = None,
+    first_iteration: int = 0,
+    opt_state: Optional[optim.AdamState] = None,
 ) -> TrainState:
     """Main optimization loop (`train.py:99-212`).
 
     Python here only sequences jitted steps: camera pick, train_step,
-    densify/reset maintenance, SH degree bumps.
+    densify/reset maintenance, SH degree bumps. Resume by passing
+    `first_iteration` and the restored `opt_state`.
     """
     iterations = iterations or opt_cfg.iterations
     bg_color = jnp.asarray([1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0])
-    opt_state = optim.init(model.params)
+    if opt_state is None:
+        opt_state = optim.init(model.params)
 
     # random camera stack semantics (`train.py:133-135`)
     py_rng = np.random.default_rng(np.asarray(jax.random.key_data(rng))[-1])
     stack: List[int] = []
 
-    for iteration in range(1, iterations + 1):
+    for iteration in range(first_iteration + 1, iterations + 1):
         # SH degree bump every 1000 iters (`train.py:129-130`)
         if iteration % 1000 == 0:
             model = model.oneup_sh_degree()

@@ -130,3 +130,28 @@ def test_ply_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(m2.get_xyz()[:nr]), np.asarray(model.get_xyz()[:nr]), rtol=1e-5
     )
+
+
+def test_resume_from_checkpoint(scene_dir, tmp_path):
+    """--start_checkpoint resumes the main stage without redoing init."""
+    from scgaussian_tpu.apps import train as train_app
+
+    model_dir = str(tmp_path / "model_resume")
+    common = [
+        "-s", scene_dir, "-m", model_dir, "-r", "1", "--eval",
+        "--init_iterations", "100", "--densify_from_iter", "10000",
+        "--bg_capacity", "256", "--backend", "oracle",
+        "--test_iterations", "-1", "--save_iterations", "-1",
+        "--opacity_reset_interval", "10000",
+    ]
+    train_app.main(common + ["--iterations", "10",
+                             "--checkpoint_iterations", "10"])
+    assert os.path.exists(os.path.join(model_dir, "chkpnt10.npz"))
+
+    state = train_app.main(
+        common
+        + ["--iterations", "20", "--start_checkpoint",
+           os.path.join(model_dir, "chkpnt10.npz")]
+    )
+    assert state.iteration == 20
+    assert os.path.exists(os.path.join(model_dir, "chkpnt20.npz"))
