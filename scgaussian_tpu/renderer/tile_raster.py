@@ -86,11 +86,12 @@ def _chunk_geometry(data_ref, sl, pixx, pixy):
     return dx, dy, ca, cb, cc, op, G, alpha, live
 
 
-def _fwd_kernel(nx: int, tilesize: int, counts_ref, tri_ref, data_ref, out_ref):
+def _fwd_kernel(nx: int, tilesize: int, counts_ref, tids_ref, tri_ref, data_ref, out_ref):
     P = tilesize * tilesize
     t = pl.program_id(0)
     cnt = counts_ref[t]
-    pixx, pixy = _pix_coords(t, nx, tilesize, P)
+    # global tile id (differs from t under tile sharding)
+    pixx, pixy = _pix_coords(tids_ref[t], nx, tilesize, P)
     nchunks = pl.cdiv(cnt, CHUNK)
 
     def body(k, carry):
@@ -126,11 +127,11 @@ def _fwd_kernel(nx: int, tilesize: int, counts_ref, tri_ref, data_ref, out_ref):
     out_ref[0] = out
 
 
-def _bwd_kernel(nx: int, tilesize: int, counts_ref, tri_ref, data_ref, gout_ref, ddata_ref):
+def _bwd_kernel(nx: int, tilesize: int, counts_ref, tids_ref, tri_ref, data_ref, gout_ref, ddata_ref):
     P = tilesize * tilesize
     t = pl.program_id(0)
     cnt = counts_ref[t]
-    pixx, pixy = _pix_coords(t, nx, tilesize, P)
+    pixx, pixy = _pix_coords(tids_ref[t], nx, tilesize, P)
     g_attrs = gout_ref[0, :, 0:4]  # cotangents for premultiplied rgb + depth
     g_logT = gout_ref[0, :, 4:5]
     nchunks = pl.cdiv(cnt, CHUNK)
@@ -224,45 +225,49 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _composite_fwd_impl(tile_data, counts, nx, ny, tilesize):
+def _composite_fwd_impl(tile_data, counts, nx, ny, tilesize, tile_ids=None):
     T, _, K = tile_data.shape
     P = tilesize * tilesize
+    if tile_ids is None:
+        tile_ids = jnp.arange(T, dtype=jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((CHUNK, CHUNK), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NUM_ROWS, K), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, CHUNK), lambda i, c, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NUM_ROWS, K), lambda i, c, t: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, P, 8), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, P, 8), lambda i, c, t: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, nx, tilesize),
         out_shape=jax.ShapeDtypeStruct((T, P, 8), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(counts, _tri_matrix(), tile_data)
+    )(counts, tile_ids, _tri_matrix(), tile_data)
 
 
-def _composite_bwd_impl(tile_data, counts, gout, nx, ny, tilesize):
+def _composite_bwd_impl(tile_data, counts, gout, nx, ny, tilesize, tile_ids=None):
     T, _, K = tile_data.shape
     P = tilesize * tilesize
+    if tile_ids is None:
+        tile_ids = jnp.arange(T, dtype=jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((CHUNK, CHUNK), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NUM_ROWS, K), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 8), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, CHUNK), lambda i, c, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NUM_ROWS, K), lambda i, c, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 8), lambda i, c, t: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, NUM_ROWS, K), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, NUM_ROWS, K), lambda i, c, t: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     ddata = pl.pallas_call(
         functools.partial(_bwd_kernel, nx, tilesize),
         out_shape=jax.ShapeDtypeStruct((T, NUM_ROWS, K), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(counts, _tri_matrix(), tile_data, gout)
+    )(counts, tile_ids, _tri_matrix(), tile_data, gout)
     return ddata
 
 

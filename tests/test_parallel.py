@@ -89,3 +89,33 @@ def test_dp_step_different_cameras_runs(setup):
         )
     )
     assert diff > 0
+
+
+def test_tile_sharded_render_matches_single(setup):
+    """Tile-sharded rendering == single-device rasterize, bitwise per tile."""
+    import jax.numpy as jnp
+    from scgaussian_tpu.renderer import project as pm
+    from scgaussian_tpu.renderer import tile_raster as tr
+    from scgaussian_tpu.parallel import tiles as tile_shard
+
+    scene, model = setup
+    cam = scene["cams"][0]
+    proj = pm.project(
+        cam,
+        model.get_xyz(),
+        model.get_opacity().reshape(-1),
+        scales=model.get_scaling(),
+        rotations=model.get_rotation(),
+        shs=model.get_features(),
+        active_sh_degree=3,
+    )
+    img1, d1, a1 = tr.rasterize(proj, cam.width, cam.height, jnp.zeros(3),
+                                max_per_tile=256, entry_budget=8192)
+    mesh = dp.make_mesh(8, axis="tiles")
+    img2, d2, a2 = tile_shard.rasterize_tile_sharded(
+        mesh, proj, cam.width, cam.height, jnp.zeros(3),
+        max_per_tile=256, entry_budget=8192,
+    )
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(img1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-6)
