@@ -79,35 +79,42 @@ def bin_gaussians(
     total = jnp.sum(cov)
 
     # Ragged expand: entry e -> (depth-rank gi, slot j); gaussian-major order.
+    #
+    # PERFORMANCE NOTE: 1D random gathers of [L] elements cost ~1ms each on
+    # TPU (serialized loads), so this path avoids them wherever possible:
+    # - gi comes from scatter-ones + cumsum instead of a binary search
+    #   (searchsorted = log2(N) such gathers);
+    # - all per-rank lookups are packed into ONE [N, 4] row gather;
+    # - the entry's original Gaussian index rides the sort as a payload
+    #   instead of being re-gathered post-sort.
     e = jnp.arange(L, dtype=jnp.int32)
-    gi = jnp.searchsorted(
-        offs, e, side="right", method="scan_unrolled"
-    ).astype(jnp.int32) - 1
+    marks = jnp.zeros((L,), jnp.int32).at[offs].add(1, mode="drop")
+    gi = jnp.cumsum(marks) - 1  # == searchsorted(offs, e, 'right') - 1
     gi = jnp.clip(gi, 0, n - 1)
-    j = e - offs[gi]
     valid_e = e < total
 
-    tx = rect_min[gi, 0] + j % jnp.maximum(cov_w[gi], 1)
-    ty = rect_min[gi, 1] + j // jnp.maximum(cov_w[gi], 1)
+    per_rank = jnp.stack(
+        [rect_min[:, 0], rect_min[:, 1], cov_w, order, offs], axis=1
+    )  # [N, 5]
+    pr = per_rank[gi]  # [L, 5] single row gather
+    j = e - pr[:, 4]
+    cw = jnp.maximum(pr[:, 2], 1)
+    tx = pr[:, 0] + j % cw
+    ty = pr[:, 1] + j // cw
     tile_e = jnp.where(valid_e, ty * nx + tx, num_tiles).astype(jnp.int32)
+    orig_e = jnp.where(valid_e, pr[:, 3], n).astype(jnp.int32)
 
     # Stable sort by tile id: entries are already depth-ordered, so stability
     # gives per-tile front-to-back order (== CUDA's (tile, depth) radix key
     # with stable instance tie-break). When (num_tiles+1) * L fits int32 the
-    # key and the entry position are packed into ONE int32 so the sort runs
-    # single-operand (fastest XLA:TPU sort); the packed form is automatically
-    # stable.
+    # key and the entry position are packed into ONE int32 key (automatically
+    # stable); the original index rides as payload.
     if (num_tiles + 1) * L < 2**31:
         packed = tile_e * jnp.int32(L) + e
-        packed_sorted = jax.lax.sort(packed)
+        packed_sorted, orig_sorted = jax.lax.sort((packed, orig_e), num_keys=1)
         pos_sorted = packed_sorted % jnp.int32(L)
         tile_sorted = packed_sorted // jnp.int32(L)
-        gi_sorted = gi[pos_sorted]
-        orig_sorted = jnp.where(
-            pos_sorted < total, order[gi_sorted], n
-        ).astype(jnp.int32)
     else:
-        orig_e = jnp.where(valid_e, order[gi], n).astype(jnp.int32)
         tile_sorted, orig_sorted, pos_sorted = jax.lax.sort(
             (tile_e, orig_e, e), num_keys=1, is_stable=True
         )

@@ -323,9 +323,12 @@ def _gather_composite_bwd(nx, ny, tilesize, K, res, gout):
     d_rows = ddata.transpose(0, 2, 1) * valid_k[..., None]  # [T, K, R]
     d_rows = d_rows.reshape(T * K, R)
 
-    # sorted entry e -> flat (t, k) slot in d_rows
+    # sorted entry e -> flat (t, k) slot in d_rows. (scatter-ones + cumsum
+    # instead of searchsorted: binary search = log2(L) serialized 1D gathers,
+    # ~1ms each on TPU.)
     e = jnp.arange(L, dtype=jnp.int32)
-    t = jnp.searchsorted(bins.starts, e, side="right").astype(jnp.int32) - 1
+    marks = jnp.zeros((L,), jnp.int32).at[bins.starts].add(1, mode="drop")
+    t = jnp.cumsum(marks) - 1  # == searchsorted(starts, e, 'right') - 1
     t_ok = (t >= 0) & (t < T)
     t_c = jnp.clip(t, 0, T - 1)
     k = e - bins.starts[t_c]
