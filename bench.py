@@ -40,7 +40,7 @@ def main():
     cam = Camera.create(np.eye(3), np.zeros(3), 0.9, 0.6, W, H)
 
     @jax.jit
-    def fwdbwd(means, opac, scales, quats, shs):
+    def fwdbwd(*args):
         def loss(*a):
             out = render(
                 cam, a[0], a[1], jnp.zeros(3), scales=a[2], rotations=a[3],
@@ -52,7 +52,7 @@ def main():
                 + jnp.sum(out.rendered_alpha)
             )
 
-        return jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(*a)
+        return jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
 
     args = tuple(jnp.asarray(x) for x in (means, opac, scales, quats, shs))
     out = fwdbwd(*args)
