@@ -48,6 +48,9 @@ def render(
     mean2d_offset: Optional[jnp.ndarray] = None,
     backend: str = "tpu",
     tile: int = oracle_mod.TILE,
+    max_per_tile: int = 1024,
+    entry_budget: Optional[int] = None,
+    flat: bool = True,
 ) -> RenderOutput:
     """Render one view. `backend` is "tpu" (Pallas kernels) or "oracle"."""
     proj = project_mod.project(
@@ -73,7 +76,14 @@ def render(
         from scgaussian_tpu.renderer import tile_raster
 
         img, dep, alp = tile_raster.rasterize(
-            proj, camera.width, camera.height, bg_color, tile=tile
+            proj,
+            camera.width,
+            camera.height,
+            bg_color,
+            tile=tile,
+            max_per_tile=max_per_tile,
+            entry_budget=entry_budget,
+            flat=flat,
         )
     else:
         raise ValueError(f"unknown backend: {backend!r}")

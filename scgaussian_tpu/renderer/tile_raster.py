@@ -377,6 +377,7 @@ def rasterize(
     tile: int = 16,
     max_per_tile: int = 1024,
     entry_budget: int | None = None,
+    flat: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full tile pipeline: bin (XLA) -> gather -> Pallas composite -> assemble.
 
@@ -414,7 +415,10 @@ def rasterize(
     )
     attrs = jnp.concatenate([attrs, jnp.zeros((1, NUM_ROWS), attrs.dtype)], axis=0)
 
-    out = gather_composite(attrs, bins, nx, ny, tile, max_per_tile)  # [T, P, 8]
+    if flat:
+        out = flat_gather_composite(attrs, bins, nx, ny, tile)  # [T, P, 8]
+    else:
+        out = gather_composite(attrs, bins, nx, ny, tile, max_per_tile)
 
     img = out.reshape(ny, nx, tile, tile, 8).transpose(0, 2, 1, 3, 4)
     img = img.reshape(ny * tile, nx * tile, 8)[:height, :width]
@@ -427,3 +431,329 @@ def rasterize(
         acc_d[None],
         (1.0 - T_fin)[None],
     )
+
+
+# --------------------------------------------------------------------------
+# v2 "flat" kernels: per-tile entry ranges are DMA'd straight from the
+# tile-sorted [NUM_ROWS, L] attribute array in HBM — no padded [T, K]
+# tile_data is ever materialized. This removes the dominant cost at dense
+# resolutions (the [T*K]-row gather + its memory traffic: 400 MB at 1080p
+# with K=1024 vs ~10 MB of flat entries) AND the per-tile K cap, restoring
+# exact CUDA semantics for arbitrarily deep tiles. Input chunks are double-
+# buffered; the backward writes gradient chunks back to disjoint HBM ranges
+# (grid steps run sequentially per core, so a tile's ceil-to-chunk overhang
+# into its successor's range is overwritten in order).
+# --------------------------------------------------------------------------
+
+
+def _flat_rows(buf, slot):
+    """Row accessors for the [2, NUM_ROWS, CHUNK] VMEM chunk buffer."""
+
+    def row(r):
+        return buf[slot, r : r + 1, :]  # [1, C]
+
+    return row
+
+
+def _flat_chunk_geometry(buf, slot, k, cnt, pixx, pixy):
+    row = _flat_rows(buf, slot)
+    mx, my = row(ROW_MX), row(ROW_MY)
+    ca, cb, cc = row(ROW_CA), row(ROW_CB), row(ROW_CC)
+    op = row(ROW_OP)
+    dx = mx - pixx
+    dy = my - pixy
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    G = jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, op * G)
+    in_seg = jnp.where(
+        k * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) < cnt, 1.0, 0.0
+    )
+    live = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), 1.0, 0.0) * in_seg
+    alpha = alpha * live
+    attrs4 = buf[slot, ROW_R : ROW_D + 1, :]  # [4, C] rgb+depth
+    return dx, dy, ca, cb, cc, op, G, alpha, live, attrs4
+
+
+def _flat_fwd_kernel(
+    nx: int, tilesize: int,
+    counts_ref, starts_ref, tids_ref,
+    tri_ref, attrsT_ref,
+    out_ref,
+    buf, sems,
+):
+    P = tilesize * tilesize
+    t = pl.program_id(0)
+    cnt = counts_ref[t]
+    start = starts_ref[t]
+    pixx, pixy = _pix_coords(tids_ref[t], nx, tilesize, P)
+    nchunks = pl.cdiv(cnt, CHUNK)
+
+    def in_dma(k, slot):
+        return pltpu.make_async_copy(
+            attrsT_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        in_dma(0, 0).start()
+
+    def body(k, carry):
+        logT, done, acc = carry
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            in_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        in_dma(k, slot).wait()
+        *_, alpha, live, attrs4 = _flat_chunk_geometry(buf, slot, k, cnt, pixx, pixy)
+        l = jnp.log1p(-alpha)
+        S = jnp.dot(l, tri_ref[:], preferred_element_type=jnp.float32)
+        logT_after = logT + S
+        inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done)
+        T_before = jnp.exp(logT_after - l)
+        w = alpha * T_before * inc
+        acc = acc + jax.lax.dot_general(
+            w, attrs4, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        logT = logT + jnp.sum(l * inc, axis=1, keepdims=True)
+        done = jnp.maximum(
+            done, jnp.where(logT_after[:, CHUNK - 1 :] < LOG_T_EPS, 1.0, 0.0)
+        )
+        return logT, done, acc
+
+    logT0 = jnp.zeros((P, 1), jnp.float32)
+    done0 = jnp.zeros((P, 1), jnp.float32)
+    acc0 = jnp.zeros((P, 4), jnp.float32)
+    logT, _, acc = jax.lax.fori_loop(0, nchunks, body, (logT0, done0, acc0))
+    out_ref[0] = jnp.concatenate([acc, logT, jnp.zeros((P, 3), jnp.float32)], axis=1)
+
+
+def _flat_bwd_kernel(
+    nx: int, tilesize: int,
+    counts_ref, starts_ref, tids_ref,
+    tri_ref, attrsT_ref, gout_ref,
+    dT_ref,
+    buf, dbuf, sems, wsem,
+):
+    P = tilesize * tilesize
+    t = pl.program_id(0)
+    cnt = counts_ref[t]
+    start = starts_ref[t]
+    pixx, pixy = _pix_coords(tids_ref[t], nx, tilesize, P)
+    g_attrs = gout_ref[0, :, 0:4]
+    g_logT = gout_ref[0, :, 4:5]
+    nchunks = pl.cdiv(cnt, CHUNK)
+
+    def in_dma(k, slot):
+        return pltpu.make_async_copy(
+            attrsT_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    def common(k, slot, logT, done):
+        dx, dy, ca, cb, cc, op, G, alpha, live, attrs4 = _flat_chunk_geometry(
+            buf, slot, k, cnt, pixx, pixy
+        )
+        l = jnp.log1p(-alpha)
+        S = jnp.dot(l, tri_ref[:], preferred_element_type=jnp.float32)
+        logT_after = logT + S
+        inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done)
+        T_before = jnp.exp(logT_after - l)
+        w = alpha * T_before * inc
+        g_w = jnp.dot(g_attrs, attrs4, preferred_element_type=jnp.float32)
+        logT_next = logT + jnp.sum(l * inc, axis=1, keepdims=True)
+        done_next = jnp.maximum(
+            done, jnp.where(logT_after[:, CHUNK - 1 :] < LOG_T_EPS, 1.0, 0.0)
+        )
+        return (dx, dy, ca, cb, cc, op, G, alpha, live, inc, T_before, w, g_w,
+                logT_next, done_next)
+
+    # pass 1: total g_w * w
+    @pl.when(nchunks > 0)
+    def _():
+        in_dma(0, 0).start()
+
+    def body1(k, carry):
+        logT, done, total = carry
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            in_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        in_dma(k, slot).wait()
+        *_, w, g_w, logT_next, done_next = common(k, slot, logT, done)
+        return logT_next, done_next, total + jnp.sum(g_w * w, axis=1, keepdims=True)
+
+    logT0 = jnp.zeros((P, 1), jnp.float32)
+    done0 = jnp.zeros((P, 1), jnp.float32)
+    _, _, total = jax.lax.fori_loop(
+        0, nchunks, body1, (logT0, done0, jnp.zeros((P, 1), jnp.float32))
+    )
+
+    # pass 2: per-entry grads, written back chunk by chunk
+    @pl.when(nchunks > 0)
+    def _():
+        in_dma(0, 0).start()
+
+    def body2(k, carry):
+        logT, done, prefix = carry
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            in_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        in_dma(k, slot).wait()
+        (dx, dy, ca, cb, cc, op, G, alpha, live, inc, T_before, w, g_w,
+         logT_next, done_next) = common(k, slot, logT, done)
+        gww = g_w * w
+        prefix_inc = prefix + jnp.dot(gww, tri_ref[:], preferred_element_type=jnp.float32)
+        A = total - prefix_inc
+        d_alpha = (g_w * T_before - (A + g_logT) / (1.0 - alpha)) * inc * live
+        d_op = G * d_alpha
+        d_power = op * d_alpha * G
+        d_attrs = jax.lax.dot_general(
+            g_attrs, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [4, C]
+
+        def rowsum(x):
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        dbuf[ROW_MX : ROW_MX + 1, :] = rowsum(d_power * (-(ca * dx + cb * dy)))
+        dbuf[ROW_MY : ROW_MY + 1, :] = rowsum(d_power * (-(cc * dy + cb * dx)))
+        dbuf[ROW_CA : ROW_CA + 1, :] = rowsum(d_power * (-0.5 * dx * dx))
+        dbuf[ROW_CB : ROW_CB + 1, :] = rowsum(d_power * (-dx * dy))
+        dbuf[ROW_CC : ROW_CC + 1, :] = rowsum(d_power * (-0.5 * dy * dy))
+        dbuf[ROW_R : ROW_D + 1, :] = d_attrs
+        dbuf[ROW_OP : ROW_OP + 1, :] = rowsum(d_op)
+        dbuf[ROW_OP + 1 :, :] = jnp.zeros((NUM_ROWS - ROW_OP - 1, CHUNK), jnp.float32)
+
+        out_dma = pltpu.make_async_copy(
+            dbuf, dT_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], wsem
+        )
+        out_dma.start()
+        out_dma.wait()  # sequential write keeps cross-tile overhang ordered
+        prefix = prefix + jnp.sum(gww, axis=1, keepdims=True)
+        return logT_next, done_next, prefix
+
+    jax.lax.fori_loop(0, nchunks, body2, (logT0, done0, jnp.zeros((P, 1), jnp.float32)))
+
+
+def _flat_fwd_impl(attrsT, counts, starts, tile_ids, nx, ny, tilesize):
+    R, Lpad = attrsT.shape
+    T = counts.shape[0]
+    P = tilesize * tilesize
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, CHUNK), lambda i, c, s, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_flat_fwd_kernel, nx, tilesize),
+        out_shape=jax.ShapeDtypeStruct((T, P, 8), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(counts, starts, tile_ids, _tri_matrix(), attrsT)
+
+
+def _flat_bwd_impl(attrsT, counts, starts, tile_ids, gout, nx, ny, tilesize):
+    R, Lpad = attrsT.shape
+    T = counts.shape[0]
+    P = tilesize * tilesize
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, CHUNK), lambda i, c, s, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_flat_bwd_kernel, nx, tilesize),
+        out_shape=jax.ShapeDtypeStruct((NUM_ROWS, Lpad), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(counts, starts, tile_ids, _tri_matrix(), attrsT, gout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def flat_gather_composite(attrs, bins, nx, ny, tilesize):
+    out, _ = _flat_gather_fwd(attrs, bins, nx, ny, tilesize)
+    return out
+
+
+def _flat_gather_fwd(attrs, bins, nx, ny, tilesize):
+    T = nx * ny
+    L = bins.orig_idx_sorted.shape[0]
+    sorted_attrs = attrs[bins.orig_idx_sorted]  # [L, R] single row gather
+    attrsT = jnp.concatenate(
+        [sorted_attrs.T, jnp.zeros((NUM_ROWS, CHUNK), attrs.dtype)], axis=1
+    )  # [R, L + CHUNK] overhang pad
+    tile_ids = jnp.arange(T, dtype=jnp.int32)
+    out = _flat_fwd_impl(
+        attrsT, bins.counts, bins.starts[:T], tile_ids, nx, ny, tilesize
+    )
+    return out, (attrsT, bins, attrs.shape[0])
+
+
+def _flat_gather_bwd(nx, ny, tilesize, res, gout):
+    attrsT, bins, n_attr = res
+    T = nx * ny
+    L = bins.orig_idx_sorted.shape[0]
+    tile_ids = jnp.arange(T, dtype=jnp.int32)
+    dT = _flat_bwd_impl(
+        attrsT, bins.counts, bins.starts[:T], tile_ids, gout, nx, ny, tilesize
+    )
+    d_sorted = dT[:, :L].T  # [L, R]
+    # guard the never-written sentinel region against uninitialized memory
+    e = jnp.arange(L, dtype=jnp.int32)
+    d_sorted = d_sorted * (e < bins.total_entries)[:, None]
+
+    d_presort = jnp.zeros((L, NUM_ROWS), d_sorted.dtype)
+    d_presort = d_presort.at[bins.presort_pos_sorted].set(
+        d_sorted, mode="drop", unique_indices=True
+    )
+    csum = jnp.cumsum(d_presort, axis=0)
+    seg_end = jnp.clip(bins.seg_offsets + bins.seg_counts - 1, 0, L - 1)
+    end_vals = csum[seg_end]
+    start_prev = jnp.where(
+        (bins.seg_offsets > 0)[:, None],
+        csum[jnp.clip(bins.seg_offsets - 1, 0, L - 1)],
+        0.0,
+    )
+    sums_rank = jnp.where((bins.seg_counts > 0)[:, None], end_vals - start_prev, 0.0)
+    d_attrs = sums_rank[bins.inv_order]
+    d_attrs = jnp.concatenate(
+        [d_attrs, jnp.zeros((n_attr - d_attrs.shape[0], NUM_ROWS), d_attrs.dtype)],
+        axis=0,
+    )
+
+    from jax.dtypes import float0
+
+    d_bins = jax.tree_util.tree_map(lambda x: np.zeros(x.shape, float0), bins)
+    return d_attrs, d_bins
+
+
+flat_gather_composite.defvjp(_flat_gather_fwd, _flat_gather_bwd)
