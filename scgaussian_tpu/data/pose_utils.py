@@ -113,18 +113,87 @@ LLFF_FIX_ROTATION = np.array(
 def convert_poses(poses: np.ndarray):
     """[3, 5, N] LLFF pose blocks -> (Rs, tvecs, H, W, focal).
 
-    Matches `utils/pose_utils.py` convert_poses: world-to-camera R/t from the
-    camera-to-world 3x4 with hwf column."""
-    num = poses.shape[-1]
-    Rs, tvecs = [], []
-    H, W, fl = poses[0, 4, 0], poses[1, 4, 0], poses[2, 4, 0]
-    for i in range(num):
-        c2w = np.eye(4)
-        c2w[:3, :4] = poses[:3, :4, i]
-        w2c = np.linalg.inv(c2w)
-        Rs.append(w2c[:3, :3])
-        tvecs.append(w2c[:3, 3])
+    Matches `convert_poses` (`utils/pose_utils.py:362-375`) exactly: the LLFF
+    [-u, r, -t] axis swizzle is applied FIRST, then the camera-to-world 3x4
+    (with hwf column) is inverted to world-to-camera R/t."""
+    poses = np.concatenate(
+        [poses[:, 1:2], poses[:, 0:1], -poses[:, 2:3], poses[:, 3:4], poses[:, 4:5]],
+        axis=1,
+    ).transpose(2, 0, 1)  # [N, 3, 5]
+    bottom = np.tile(np.array([0, 0, 0, 1.0]).reshape(1, 1, 4), (poses.shape[0], 1, 1))
+    H, W, fl = poses[0, :, -1]
+    mats = np.concatenate([poses[..., :4], bottom], axis=1)
+    mats = np.linalg.inv(mats)
+    Rs = list(mats[:, :3, :3])
+    tvecs = list(mats[:, :3, -1])
     return Rs, tvecs, int(H), int(W), fl
+
+
+def load_colmap_data(realdir: str):
+    """COLMAP -> LLFF pose blocks (`utils/pose_utils.py:276-322`): c2w mats
+    with hwf column, axes switched to LLFF [-u, r, -t] convention; returns
+    (poses [3, 5, N], pts3d rows, visibility, name-sort permutation)."""
+    from scgaussian_tpu.data import colmap
+
+    camdata = colmap.read_intrinsics_binary(os.path.join(realdir, "sparse/0/cameras.bin"))
+    cam = camdata[list(camdata.keys())[0]]
+    hwf = np.array([cam.height, cam.width, cam.params[0]]).reshape([3, 1])
+
+    imdata = colmap.read_extrinsics_binary(os.path.join(realdir, "sparse/0/images.bin"))
+    names = [imdata[k].name for k in imdata]
+    perm = np.argsort(names)
+    bottom = np.array([0, 0, 0, 1.0]).reshape([1, 4])
+    w2c_mats = []
+    for k in imdata:
+        im = imdata[k]
+        R = colmap.qvec2rotmat(im.qvec)
+        t = im.tvec.reshape([3, 1])
+        w2c_mats.append(np.concatenate([np.concatenate([R, t], 1), bottom], 0))
+    c2w_mats = np.linalg.inv(np.stack(w2c_mats, 0))
+    poses = c2w_mats[:, :3, :4].transpose([1, 2, 0])
+    poses = np.concatenate(
+        [poses, np.tile(hwf[..., np.newaxis], [1, 1, poses.shape[-1]])], 1
+    )
+    # switch to [-u, r, -t] from [r, -u, t]
+    poses = np.concatenate(
+        [poses[:, 1:2, :], poses[:, 0:1, :], -poses[:, 2:3, :], poses[:, 3:4, :], poses[:, 4:5, :]],
+        1,
+    )
+
+    xyz, _, _, point_ids = colmap.read_points3D_binary_pointid(
+        os.path.join(realdir, "sparse/0/points3D.bin")
+    )
+    return poses, xyz, point_ids, perm, imdata
+
+
+def gen_poses(basedir: str) -> None:
+    """imgs2poses equivalent (`utils/pose_utils.py:410-418` gen_poses +
+    save_poses `:324-358`): writes poses_bounds.npy with per-view depth
+    percentile bounds from COLMAP track visibility."""
+    from scgaussian_tpu.data import colmap
+
+    poses, xyz, point_ids, perm, imdata = load_colmap_data(basedir)
+    n_views = poses.shape[-1]
+    n_pts = xyz.shape[0]
+    vis = np.zeros((n_pts, n_views), bool)
+    im_keys = list(imdata.keys())
+    for vi, k in enumerate(im_keys):
+        for pid in imdata[k].point3D_ids:
+            if pid != -1 and pid in point_ids:
+                vis[point_ids[pid], vi] = True
+
+    zvals = np.sum(
+        -(xyz[:, np.newaxis, :].transpose([2, 0, 1]) - poses[:3, 3:4, :]) * poses[:3, 2:3, :],
+        0,
+    )
+    save_arr = []
+    for i in perm:
+        zs = zvals[:, i][vis[:, i]]
+        close_depth, inf_depth = np.percentile(zs, 0.1), np.percentile(zs, 99.9)
+        save_arr.append(
+            np.concatenate([poses[..., i].ravel(), np.array([close_depth, inf_depth])], 0)
+        )
+    np.save(os.path.join(basedir, "poses_bounds.npy"), np.array(save_arr))
 
 
 def load_llff_spiral_poses(basedir: str, n_frames: int = 180):

@@ -111,3 +111,27 @@ def test_network_gui_protocol():
     assert received["verify"] == "ok"
     assert received["img_len"] == 32 * 24 * 3
     gui.close()
+
+
+def test_llff_poses_bounds_and_spiral(tmp_path):
+    """gen_poses writes poses_bounds.npy from COLMAP; the LLFF spiral video
+    factory consumes it and yields 180 consistent cameras."""
+    from scgaussian_tpu.data.synthetic import generate_scene
+    from scgaussian_tpu.data.pose_utils import gen_poses
+    from scgaussian_tpu.data.readers import create_llff_spiral
+
+    d = tmp_path / "llffscene"
+    d.mkdir()
+    generate_scene(str(d), n_views=8, n_gaussians=20, n_points=60, width=48, height=36)
+    gen_poses(str(d))
+    pb = np.load(d / "poses_bounds.npy")
+    assert pb.shape == (8, 17)
+    assert (pb[:, -2] < pb[:, -1]).all()  # near < far
+
+    info = create_llff_spiral(str(d))
+    assert len(info.test_cameras) == 180
+    c = info.test_cameras[0]
+    assert c.width == 48 and c.height == 36
+    # rotations orthonormal
+    R = c.R
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
