@@ -51,17 +51,7 @@ def rasterize_tile_sharded(
 
     bins = bin_gaussians(proj, width, height, tile, entry_budget)
 
-    zeros = jnp.zeros_like(proj.depth)
-    attrs = jnp.stack(
-        [
-            proj.mean2d[:, 0], proj.mean2d[:, 1],
-            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-            proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
-            proj.depth, proj.opacity, zeros, zeros,
-        ],
-        axis=1,
-    )
-    attrs = jnp.concatenate([attrs, jnp.zeros((1, tr.NUM_ROWS), attrs.dtype)], axis=0)
+    attrs = tr.attrs_matrix(proj)
 
     pad = T_pad - T
     starts_p = jnp.concatenate(

@@ -50,7 +50,8 @@ LOG_T_EPS = float(np.log(1e-4).astype(np.float32))
 # rows of the tile_data layout
 ROW_MX, ROW_MY, ROW_CA, ROW_CB, ROW_CC = 0, 1, 2, 3, 4
 ROW_R, ROW_G, ROW_B, ROW_D, ROW_OP = 5, 6, 7, 8, 9
-NUM_ROWS = 12  # 10 used + 2 pad (f32 sublane tiling is 8; 12 keeps slices simple)
+NUM_ROWS = 16  # 10 used + 6 pad; multiple of the f32 sublane tile (8) so
+# [NUM_ROWS, C] DMA slices of the flat attribute array stay layout-aligned
 
 # columns of the output layout [T, P, 8]
 OUT_R, OUT_G, OUT_B, OUT_D, OUT_LOGT = 0, 1, 2, 3, 4
@@ -369,6 +370,27 @@ def _gather_composite_bwd(nx, ny, tilesize, K, res, gout):
 gather_composite.defvjp(_gather_composite_fwd, _gather_composite_bwd)
 
 
+def attrs_matrix(proj) -> jnp.ndarray:
+    """Dense [N + 1, NUM_ROWS] attribute matrix; the +1 row is the zero
+    sentinel for empty entry slots."""
+    zeros = jnp.zeros_like(proj.depth)
+    cols = [
+        proj.mean2d[:, 0],
+        proj.mean2d[:, 1],
+        proj.conic[:, 0],
+        proj.conic[:, 1],
+        proj.conic[:, 2],
+        proj.color[:, 0],
+        proj.color[:, 1],
+        proj.color[:, 2],
+        proj.depth,
+        proj.opacity,
+    ]
+    cols += [zeros] * (NUM_ROWS - len(cols))
+    attrs = jnp.stack(cols, axis=1)
+    return jnp.concatenate([attrs, jnp.zeros((1, NUM_ROWS), attrs.dtype)], axis=0)
+
+
 def rasterize(
     proj,
     width: int,
@@ -394,26 +416,7 @@ def rasterize(
     nx = (width + tile - 1) // tile
     ny = (height + tile - 1) // tile
 
-    # dense [N + 1, R] attribute matrix; the +1 row is the zero sentinel
-    zeros = jnp.zeros_like(proj.depth)
-    attrs = jnp.stack(
-        [
-            proj.mean2d[:, 0],
-            proj.mean2d[:, 1],
-            proj.conic[:, 0],
-            proj.conic[:, 1],
-            proj.conic[:, 2],
-            proj.color[:, 0],
-            proj.color[:, 1],
-            proj.color[:, 2],
-            proj.depth,
-            proj.opacity,
-            zeros,
-            zeros,
-        ],
-        axis=1,
-    )
-    attrs = jnp.concatenate([attrs, jnp.zeros((1, NUM_ROWS), attrs.dtype)], axis=0)
+    attrs = attrs_matrix(proj)
 
     if flat:
         out = flat_gather_composite(attrs, bins, nx, ny, tile)  # [T, P, 8]
