@@ -656,7 +656,7 @@ def _flat_fwd_impl(attrsT, counts, starts, tile_ids, nx, ny, tilesize):
         grid=(T,),
         in_specs=[
             pl.BlockSpec((CHUNK, CHUNK), lambda i, c, s, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((1, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -681,10 +681,10 @@ def _flat_bwd_impl(attrsT, counts, starts, tile_ids, gout, nx, ny, tilesize):
         grid=(T,),
         in_specs=[
             pl.BlockSpec((CHUNK, CHUNK), lambda i, c, s, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((NUM_ROWS, CHUNK), jnp.float32),
