@@ -275,3 +275,76 @@ def test_mean2d_offset_gradient():
     g = jax.grad(loss_fn)(offset)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def _rotmat(axis, angle):
+    axis = np.asarray(axis, float)
+    axis /= np.linalg.norm(axis)
+    K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]])
+    return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
+
+
+def test_projection_rotated_camera_matches_manual():
+    """Non-identity camera rotation/translation: mean2d must equal the manual
+    K @ w2c pinhole projection in the reference ndc2pix convention
+    (pixel = (ndc + 1) * S / 2 - 0.5)."""
+    from scgaussian_tpu.core.cameras import Camera, intrinsic_matrix, world_to_view
+
+    # COLMAP-style inputs: R is the transposed w2c rotation, T the w2c translation
+    Rw2c = _rotmat([0.3, 1.0, 0.2], 0.4)
+    R = Rw2c.T
+    T = np.array([0.2, -0.1, 0.5])
+    W, H = 64, 48
+    cam = Camera.create(R, T, fovx=0.9, fovy=0.7, width=W, height=H)
+
+    rng = np.random.default_rng(0)
+    # points in front of this camera: x_cam = Rw2c x + T with z in (2, 6)
+    cam_pts = np.stack(
+        [rng.uniform(-0.5, 0.5, 20), rng.uniform(-0.4, 0.4, 20), rng.uniform(2, 6, 20)],
+        -1,
+    )
+    world_pts = (cam_pts - T) @ np.linalg.inv(Rw2c).T
+
+    proj = project_mod.project(
+        cam,
+        jnp.asarray(world_pts.astype(np.float32)),
+        jnp.full((20,), 0.5),
+        scales=jnp.full((20, 3), 0.05),
+        rotations=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (20, 1)),
+        colors_precomp=jnp.ones((20, 3)),
+    )
+    K = intrinsic_matrix(0.9, 0.7, W, H)
+    uvz = cam_pts @ K.T
+    uv = uvz[:, :2] / uvz[:, 2:3]
+    # reference convention: pixel = (ndc+1)*S/2 - 0.5 = K-projection - 0.5
+    np.testing.assert_allclose(np.asarray(proj.mean2d), uv - 0.5, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(proj.depth), cam_pts[:, 2], rtol=1e-5)
+
+
+def test_backend_parity_rotated_camera():
+    """Oracle vs Pallas parity under a rotated + translated camera."""
+    Rw2c = _rotmat([1.0, 0.5, -0.3], -0.35)
+    cam = Camera.create(Rw2c.T, np.array([0.1, 0.2, -0.3]), 0.85, 0.65, 64, 48)
+    means, scales, quats, opac, shs = make_scene(n=48, seed=21, z_range=(2.5, 7.0))
+    # push points into this camera's frustum: transform from cam frame
+    rng = np.random.default_rng(5)
+    cam_pts = np.stack(
+        [rng.uniform(-1, 1, 48), rng.uniform(-0.8, 0.8, 48), rng.uniform(2.5, 7, 48)], -1
+    )
+    world = (cam_pts - np.array([0.1, 0.2, -0.3])) @ np.linalg.inv(Rw2c).T
+    means = jnp.asarray(world.astype(np.float32))
+
+    outs = {}
+    for backend in ("oracle", "tpu"):
+        outs[backend] = render(
+            cam, means, opac, jnp.asarray([0.2, 0.1, 0.4]), scales=scales,
+            rotations=quats, shs=shs, active_sh_degree=3, backend=backend,
+        )
+    np.testing.assert_allclose(
+        np.asarray(outs["tpu"].render), np.asarray(outs["oracle"].render), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["tpu"].rendered_depth),
+        np.asarray(outs["oracle"].rendered_depth),
+        atol=2e-4,
+    )
