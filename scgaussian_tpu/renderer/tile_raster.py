@@ -458,7 +458,10 @@ def _flat_rows(buf, slot):
     return row
 
 
-def _flat_chunk_geometry(buf, slot, k, cnt, pixx, pixy):
+def _flat_chunk_geometry(buf, slot, base, k, start, cnt, pixx, pixy):
+    """Chunk windows are 128-ALIGNED (base = floor(start/C)*C), so the window
+    can contain neighbor tiles' entries at both ends; the in-segment mask
+    keeps exactly [start, start+cnt)."""
     row = _flat_rows(buf, slot)
     mx, my = row(ROW_MX), row(ROW_MY)
     ca, cb, cc = row(ROW_CA), row(ROW_CB), row(ROW_CC)
@@ -468,12 +471,11 @@ def _flat_chunk_geometry(buf, slot, k, cnt, pixx, pixy):
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     G = jnp.exp(power)
     alpha = jnp.minimum(ALPHA_MAX, op * G)
-    in_seg = jnp.where(
-        k * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) < cnt, 1.0, 0.0
-    )
+    g = base + k * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    in_seg = jnp.where((g >= start) & (g < start + cnt), 1.0, 0.0)
     live = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), 1.0, 0.0) * in_seg
     alpha = alpha * live
-    attrs4 = buf[slot, ROW_R : ROW_D + 1, :]  # [4, C] rgb+depth
+    attrs4 = buf[slot, ROW_R : ROW_D + 1, :] * in_seg  # [4, C] rgb+depth
     return dx, dy, ca, cb, cc, op, G, alpha, live, attrs4
 
 
@@ -488,12 +490,13 @@ def _flat_fwd_kernel(
     t = pl.program_id(0)
     cnt = counts_ref[t]
     start = starts_ref[t]
+    base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
     pixx, pixy = _pix_coords(tids_ref[t], nx, tilesize, P)
-    nchunks = pl.cdiv(cnt, CHUNK)
+    nchunks = jnp.where(cnt > 0, pl.cdiv(start + cnt - base, CHUNK), 0)
 
     def in_dma(k, slot):
         return pltpu.make_async_copy(
-            attrsT_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
+            attrsT_ref.at[:, pl.ds(base + k * CHUNK, CHUNK)],
             buf.at[slot],
             sems.at[slot],
         )
@@ -511,7 +514,7 @@ def _flat_fwd_kernel(
             in_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
 
         in_dma(k, slot).wait()
-        *_, alpha, live, attrs4 = _flat_chunk_geometry(buf, slot, k, cnt, pixx, pixy)
+        *_, alpha, live, attrs4 = _flat_chunk_geometry(buf, slot, base, k, start, cnt, pixx, pixy)
         l = jnp.log1p(-alpha)
         S = jnp.dot(l, tri_ref[:], preferred_element_type=jnp.float32)
         logT_after = logT + S
@@ -537,29 +540,31 @@ def _flat_fwd_kernel(
 def _flat_bwd_kernel(
     nx: int, tilesize: int,
     counts_ref, starts_ref, tids_ref,
-    tri_ref, attrsT_ref, gout_ref,
+    tri_ref, attrsT_ref, gout_ref, dzero_ref,
     dT_ref,
-    buf, dbuf, sems, wsem,
+    buf, dbuf, accbuf, sems, wsem,
 ):
+    del dzero_ref  # aliased to dT_ref; provides the zero initialization
     P = tilesize * tilesize
     t = pl.program_id(0)
     cnt = counts_ref[t]
     start = starts_ref[t]
+    base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
     pixx, pixy = _pix_coords(tids_ref[t], nx, tilesize, P)
     g_attrs = gout_ref[0, :, 0:4]
     g_logT = gout_ref[0, :, 4:5]
-    nchunks = pl.cdiv(cnt, CHUNK)
+    nchunks = jnp.where(cnt > 0, pl.cdiv(start + cnt - base, CHUNK), 0)
 
     def in_dma(k, slot):
         return pltpu.make_async_copy(
-            attrsT_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
+            attrsT_ref.at[:, pl.ds(base + k * CHUNK, CHUNK)],
             buf.at[slot],
             sems.at[slot],
         )
 
     def common(k, slot, logT, done):
         dx, dy, ca, cb, cc, op, G, alpha, live, attrs4 = _flat_chunk_geometry(
-            buf, slot, k, cnt, pixx, pixy
+            buf, slot, base, k, start, cnt, pixx, pixy
         )
         l = jnp.log1p(-alpha)
         S = jnp.dot(l, tri_ref[:], preferred_element_type=jnp.float32)
@@ -636,11 +641,21 @@ def _flat_bwd_kernel(
         dbuf[ROW_OP : ROW_OP + 1, :] = rowsum(d_op)
         dbuf[ROW_OP + 1 :, :] = jnp.zeros((NUM_ROWS - ROW_OP - 1, CHUNK), jnp.float32)
 
+        # read-modify-write: aligned boundary windows hold neighbor tiles'
+        # gradients (written by earlier grid steps — sequential order + the
+        # immediate wait below make this race-free). Our contribution is
+        # zero outside [start, start+cnt) by the in-segment mask.
+        rd = pltpu.make_async_copy(
+            dT_ref.at[:, pl.ds(base + k * CHUNK, CHUNK)], accbuf, wsem
+        )
+        rd.start()
+        rd.wait()
+        accbuf[:, :] = accbuf[:, :] + dbuf[:, :]
         out_dma = pltpu.make_async_copy(
-            dbuf, dT_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], wsem
+            accbuf, dT_ref.at[:, pl.ds(base + k * CHUNK, CHUNK)], wsem
         )
         out_dma.start()
-        out_dma.wait()  # sequential write keeps cross-tile overhang ordered
+        out_dma.wait()
         prefix = prefix + jnp.sum(gww, axis=1, keepdims=True)
         return logT_next, done_next, prefix
 
@@ -683,22 +698,26 @@ def _flat_bwd_impl(attrsT, counts, starts, tile_ids, gout, nx, ny, tilesize):
             pl.BlockSpec((CHUNK, CHUNK), lambda i, c, s, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((NUM_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_ROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    dzero = jnp.zeros((NUM_ROWS, Lpad), jnp.float32)
     return pl.pallas_call(
         functools.partial(_flat_bwd_kernel, nx, tilesize),
         out_shape=jax.ShapeDtypeStruct((NUM_ROWS, Lpad), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(counts, starts, tile_ids, _tri_matrix(), attrsT, gout)
+        input_output_aliases={6: 0},
+    )(counts, starts, tile_ids, _tri_matrix(), attrsT, gout, dzero)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
