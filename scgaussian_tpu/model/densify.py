@@ -22,6 +22,7 @@ Reference invariants kept exactly:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -67,6 +68,10 @@ def _free_slot_table(bg_alive: jnp.ndarray) -> jnp.ndarray:
     return jnp.argsort(bg_alive.astype(jnp.int32), stable=True)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_screen_size", "split_n"),
+)
 def densify_and_prune(
     model: GaussianModel,
     opt_state: optim.AdamState,
@@ -78,7 +83,8 @@ def densify_and_prune(
     percent_dense: float,
     split_n: int = 2,
 ) -> Tuple[GaussianModel, optim.AdamState, jnp.ndarray]:
-    """One densify+prune maintenance event (`train.py:195-197`).
+    """One densify+prune maintenance event (`train.py:195-197`), jitted so
+    the ~50-op state surgery is one dispatch instead of eager op-by-op.
 
     Returns (model, opt_state, dropped_count) where dropped_count is the
     number of would-be new Gaussians that didn't fit in bg capacity.
@@ -207,6 +213,7 @@ def densify_and_prune(
     return model, opt_state, dropped
 
 
+@jax.jit
 def reset_opacity(
     model: GaussianModel, opt_state: optim.AdamState
 ) -> Tuple[GaussianModel, optim.AdamState]:
