@@ -282,7 +282,7 @@ def read_blender_scene(path, white_background, eval, extension=".png"):
             bg = np.array([1, 1, 1]) if white_background else np.array([0, 0, 0])
             norm_data = im_data / 255.0
             arr = norm_data[:, :, :3] * norm_data[:, :, 3:4] + bg * (1 - norm_data[:, :, 3:4])
-            image = Image.fromarray(np.array(arr * 255.0, dtype=np.byte), "RGB")
+            image = Image.fromarray(np.array(arr * 255.0, dtype=np.uint8), "RGB")
             img_mask = norm_data[:, :, 3] > 0
 
             fovy = focal2fov(fov2focal(fovx, image.size[0]), image.size[1])

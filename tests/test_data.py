@@ -123,3 +123,46 @@ def test_scene_orchestration(scene_dir, tmp_path):
     assert ids == [0, 1, 2]
     # images loaded at full res (resolution=1)
     assert scene.train_cameras[0].image.shape == (3, 48, 64)
+
+
+def test_blender_reader(tmp_path):
+    """Blender transforms format: alpha compositing, 8-view split, masks."""
+    import json
+    from PIL import Image as PILImage
+    from scgaussian_tpu.data.readers import read_blender_scene
+
+    d = tmp_path / "blenderscene"
+    (d / "train").mkdir(parents=True)
+    (d / "test").mkdir()
+    rng = np.random.default_rng(0)
+
+    def make_frames(split, n):
+        frames = []
+        for i in range(n):
+            img = (rng.uniform(0, 255, (32, 32, 4))).astype(np.uint8)
+            img[:10, :, 3] = 0  # transparent band
+            PILImage.fromarray(img, "RGBA").save(d / split / f"r_{i}.png")
+            c2w = np.eye(4)
+            c2w[2, 3] = 3.0 + 0.1 * i
+            frames.append({"file_path": f"./{split}/r_{i}", "transform_matrix": c2w.tolist()})
+        return frames
+
+    for split, n in (("train", 100), ("test", 16)):
+        with open(d / f"transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": 0.8, "frames": make_frames(split, n)}, f)
+    # match data for the 8 fixed train views
+    names = [f"r_{i}" for i in [2, 16, 26, 55, 73, 76, 86, 93]]
+    md = {a: {b: rng.uniform(0.1, 0.9, (20, 2)).astype(np.float32) for b in names if b != a} for a in names}
+    np.save(d / "match_data.npy", md, allow_pickle=True)
+
+    info = read_blender_scene(str(d), white_background=True, eval=True)
+    assert [c.image_name for c in info.train_cameras] == names
+    assert len(info.test_cameras) == 16
+    c = info.train_cameras[0]
+    assert c.blendermask is not None and c.blendermask.shape == (32, 32)
+    assert not c.blendermask[:10].any()  # transparent band -> mask False
+    # white background composited where alpha=0
+    arr = np.array(c.image)
+    assert (arr[:10] > 250).all()
+    np.testing.assert_allclose(c.near_far, [1.0, 6.0])
+    assert info.match_data[names[0]][names[1]].shape == (20, 2)
