@@ -41,7 +41,6 @@ class TileBins:
     orig_idx_sorted: jnp.ndarray  # [L] int32, sentinel = N
     presort_pos_sorted: jnp.ndarray  # [L] int32: pre-sort (gaussian-major) slot
     starts: jnp.ndarray  # [T + 1] int32
-    aligned_starts: jnp.ndarray  # [T + 1] int32, 128-aligned segment layout
     counts: jnp.ndarray  # [T] int32 (uncapped; rasterizer caps at K)
     seg_offsets: jnp.ndarray  # [N] int32: gaussian-major segment start (depth order)
     seg_counts: jnp.ndarray  # [N] int32: tiles covered per depth-sorted Gaussian
@@ -125,21 +124,10 @@ def bin_gaussians(
     ).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
 
-    # 128-aligned segment layout for the flat kernels: tile t's entries live
-    # at [aligned_starts[t], aligned_starts[t] + counts[t]) with every start
-    # a multiple of 128 — exclusive chunk windows, no read-modify-write in
-    # the backward. Static capacity L + T*128.
-    chunk = 128
-    padded = ((counts + chunk - 1) // chunk) * chunk
-    aligned_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
-    )  # [T + 1]
-
     return TileBins(
         orig_idx_sorted=orig_sorted,
         presort_pos_sorted=pos_sorted,
         starts=starts,
-        aligned_starts=aligned_starts,
         counts=counts,
         seg_offsets=offs.astype(jnp.int32),
         seg_counts=cov.astype(jnp.int32),

@@ -489,11 +489,10 @@ def _flat_fwd_kernel(
     P = tilesize * tilesize
     t = pl.program_id(0)
     cnt = counts_ref[t]
-    # segment starts are 128-aligned by construction (binning aligned layout)
-    start = pl.multiple_of(starts_ref[t], CHUNK)
-    base = start
+    start = starts_ref[t]
+    base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
     pixx, pixy = _pix_coords(tids_ref[t], nx, tilesize, P)
-    nchunks = pl.cdiv(cnt, CHUNK)
+    nchunks = jnp.where(cnt > 0, pl.cdiv(start + cnt - base, CHUNK), 0)
 
     def in_dma(k, slot):
         return pltpu.make_async_copy(
@@ -541,19 +540,20 @@ def _flat_fwd_kernel(
 def _flat_bwd_kernel(
     nx: int, tilesize: int,
     counts_ref, starts_ref, tids_ref,
-    tri_ref, attrsT_ref, gout_ref,
+    tri_ref, attrsT_ref, gout_ref, dzero_ref,
     dT_ref,
-    buf, dbuf, sems, wsems,
+    buf, dbuf, accbuf, sems, wsem,
 ):
+    del dzero_ref  # aliased to dT_ref; provides the zero initialization
     P = tilesize * tilesize
     t = pl.program_id(0)
     cnt = counts_ref[t]
-    start = pl.multiple_of(starts_ref[t], CHUNK)
-    base = start
+    start = starts_ref[t]
+    base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
     pixx, pixy = _pix_coords(tids_ref[t], nx, tilesize, P)
     g_attrs = gout_ref[0, :, 0:4]
     g_logT = gout_ref[0, :, 4:5]
-    nchunks = pl.cdiv(cnt, CHUNK)
+    nchunks = jnp.where(cnt > 0, pl.cdiv(start + cnt - base, CHUNK), 0)
 
     def in_dma(k, slot):
         return pltpu.make_async_copy(
@@ -632,43 +632,34 @@ def _flat_bwd_kernel(
         def rowsum(x):
             return jnp.sum(x, axis=0, keepdims=True)
 
-        def out_dma(kk, ss):
-            return pltpu.make_async_copy(
-                dbuf.at[ss], dT_ref.at[:, pl.ds(base + kk * CHUNK, CHUNK)], wsems.at[ss]
-            )
+        dbuf[ROW_MX : ROW_MX + 1, :] = rowsum(d_power * (-(ca * dx + cb * dy)))
+        dbuf[ROW_MY : ROW_MY + 1, :] = rowsum(d_power * (-(cc * dy + cb * dx)))
+        dbuf[ROW_CA : ROW_CA + 1, :] = rowsum(d_power * (-0.5 * dx * dx))
+        dbuf[ROW_CB : ROW_CB + 1, :] = rowsum(d_power * (-dx * dy))
+        dbuf[ROW_CC : ROW_CC + 1, :] = rowsum(d_power * (-0.5 * dy * dy))
+        dbuf[ROW_R : ROW_D + 1, :] = d_attrs
+        dbuf[ROW_OP : ROW_OP + 1, :] = rowsum(d_op)
+        dbuf[ROW_OP + 1 :, :] = jnp.zeros((NUM_ROWS - ROW_OP - 1, CHUNK), jnp.float32)
 
-        # aligned segments are EXCLUSIVE per tile: plain double-buffered
-        # writes, waiting only before a write slot is reused.
-        @pl.when(k >= 2)
-        def _():
-            out_dma(k - 2, slot).wait()
-
-        dbuf[slot, ROW_MX : ROW_MX + 1, :] = rowsum(d_power * (-(ca * dx + cb * dy)))
-        dbuf[slot, ROW_MY : ROW_MY + 1, :] = rowsum(d_power * (-(cc * dy + cb * dx)))
-        dbuf[slot, ROW_CA : ROW_CA + 1, :] = rowsum(d_power * (-0.5 * dx * dx))
-        dbuf[slot, ROW_CB : ROW_CB + 1, :] = rowsum(d_power * (-dx * dy))
-        dbuf[slot, ROW_CC : ROW_CC + 1, :] = rowsum(d_power * (-0.5 * dy * dy))
-        dbuf[slot, ROW_R : ROW_D + 1, :] = d_attrs
-        dbuf[slot, ROW_OP : ROW_OP + 1, :] = rowsum(d_op)
-        dbuf[slot, ROW_OP + 1 :, :] = jnp.zeros((NUM_ROWS - ROW_OP - 1, CHUNK), jnp.float32)
-        out_dma(k, slot).start()
+        # read-modify-write: aligned boundary windows hold neighbor tiles'
+        # gradients (written by earlier grid steps — sequential order + the
+        # immediate wait below make this race-free). Our contribution is
+        # zero outside [start, start+cnt) by the in-segment mask.
+        rd = pltpu.make_async_copy(
+            dT_ref.at[:, pl.ds(base + k * CHUNK, CHUNK)], accbuf, wsem
+        )
+        rd.start()
+        rd.wait()
+        accbuf[:, :] = accbuf[:, :] + dbuf[:, :]
+        out_dma = pltpu.make_async_copy(
+            accbuf, dT_ref.at[:, pl.ds(base + k * CHUNK, CHUNK)], wsem
+        )
+        out_dma.start()
+        out_dma.wait()
         prefix = prefix + jnp.sum(gww, axis=1, keepdims=True)
         return logT_next, done_next, prefix
 
     jax.lax.fori_loop(0, nchunks, body2, (logT0, done0, jnp.zeros((P, 1), jnp.float32)))
-
-    # drain the up-to-two outstanding output DMAs before the grid step ends
-    def drain(kk):
-        @pl.when((kk >= 0) & (kk >= nchunks - 2))
-        def _():
-            pltpu.make_async_copy(
-                dbuf.at[jax.lax.rem(kk, 2)],
-                dT_ref.at[:, pl.ds(base + kk * CHUNK, CHUNK)],
-                wsems.at[jax.lax.rem(kk, 2)],
-            ).wait()
-
-    drain(nchunks - 2)
-    drain(nchunks - 1)
 
 
 def _flat_fwd_impl(attrsT, counts, starts, tile_ids, nx, ny, tilesize):
@@ -707,22 +698,26 @@ def _flat_bwd_impl(attrsT, counts, starts, tile_ids, gout, nx, ny, tilesize):
             pl.BlockSpec((CHUNK, CHUNK), lambda i, c, s, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((2, NUM_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_ROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
+    dzero = jnp.zeros((NUM_ROWS, Lpad), jnp.float32)
     return pl.pallas_call(
         functools.partial(_flat_bwd_kernel, nx, tilesize),
         out_shape=jax.ShapeDtypeStruct((NUM_ROWS, Lpad), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(counts, starts, tile_ids, _tri_matrix(), attrsT, gout)
+        input_output_aliases={6: 0},
+    )(counts, starts, tile_ids, _tri_matrix(), attrsT, gout, dzero)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -731,38 +726,16 @@ def flat_gather_composite(attrs, bins, nx, ny, tilesize):
     return out
 
 
-def _aligned_maps(bins, T):
-    """Index maps between the tile-sorted entry order and the 128-aligned
-    segment layout (scatter-free: marks + cumsum + row gathers)."""
-    L = bins.orig_idx_sorted.shape[0]
-    L_aligned = L + T * CHUNK  # static capacity for per-tile round-up
-    s = jnp.arange(L_aligned, dtype=jnp.int32)
-    marks = jnp.zeros((L_aligned,), jnp.int32).at[bins.aligned_starts].add(
-        1, mode="drop"
-    )
-    t_of_s = jnp.clip(jnp.cumsum(marks) - 1, 0, T - 1)
-    seg = jnp.stack(
-        [bins.aligned_starts[:T], bins.starts[:T], bins.counts], axis=1
-    )  # [T, 3]
-    seg_s = seg[t_of_s]  # row gather [L_aligned, 3]
-    k_in_seg = s - seg_s[:, 0]
-    src = jnp.clip(seg_s[:, 1] + k_in_seg, 0, L - 1)
-    valid = k_in_seg < seg_s[:, 2]
-    return L_aligned, src, valid
-
-
 def _flat_gather_fwd(attrs, bins, nx, ny, tilesize):
     T = nx * ny
     L = bins.orig_idx_sorted.shape[0]
     sorted_attrs = attrs[bins.orig_idx_sorted]  # [L, R] single row gather
-    L_aligned, src, valid = _aligned_maps(bins, T)
-    aligned_rows = sorted_attrs[src] * valid[:, None].astype(sorted_attrs.dtype)
     attrsT = jnp.concatenate(
-        [aligned_rows.T, jnp.zeros((NUM_ROWS, CHUNK), attrs.dtype)], axis=1
-    )  # [R, L_aligned + CHUNK]
+        [sorted_attrs.T, jnp.zeros((NUM_ROWS, CHUNK), attrs.dtype)], axis=1
+    )  # [R, L + CHUNK] overhang pad
     tile_ids = jnp.arange(T, dtype=jnp.int32)
     out = _flat_fwd_impl(
-        attrsT, bins.counts, bins.aligned_starts[:T], tile_ids, nx, ny, tilesize
+        attrsT, bins.counts, bins.starts[:T], tile_ids, nx, ny, tilesize
     )
     return out, (attrsT, bins, attrs.shape[0])
 
@@ -773,19 +746,11 @@ def _flat_gather_bwd(nx, ny, tilesize, res, gout):
     L = bins.orig_idx_sorted.shape[0]
     tile_ids = jnp.arange(T, dtype=jnp.int32)
     dT = _flat_bwd_impl(
-        attrsT, bins.counts, bins.aligned_starts[:T], tile_ids, gout, nx, ny, tilesize
+        attrsT, bins.counts, bins.starts[:T], tile_ids, gout, nx, ny, tilesize
     )
-    # aligned layout -> tile-sorted order: entry e of tile t sits at aligned
-    # position aligned_starts[t] + (e - starts[t]); recover t scatter-free.
-    L_aligned = dT.shape[1] - CHUNK
+    d_sorted = dT[:, :L].T  # [L, R]
+    # guard the never-written sentinel region against uninitialized memory
     e = jnp.arange(L, dtype=jnp.int32)
-    marks_e = jnp.zeros((L,), jnp.int32).at[bins.starts].add(1, mode="drop")
-    t_of_e = jnp.clip(jnp.cumsum(marks_e) - 1, 0, T - 1)
-    seg = jnp.stack([bins.aligned_starts[:T], bins.starts[:T]], axis=1)
-    seg_e = seg[t_of_e]
-    pos = jnp.clip(seg_e[:, 0] + (e - seg_e[:, 1]), 0, L_aligned - 1)
-    d_aligned = dT[:, :L_aligned].T  # [L_aligned, R]
-    d_sorted = d_aligned[pos]  # row gather
     d_sorted = d_sorted * (e < bins.total_entries)[:, None]
 
     d_presort = jnp.zeros((L, NUM_ROWS), d_sorted.dtype)
