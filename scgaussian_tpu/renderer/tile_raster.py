@@ -338,10 +338,9 @@ def _gather_composite_bwd(nx, ny, tilesize, K, res, gout):
     d_sorted = d_rows[flat] * (t_ok & k_ok)[:, None].astype(d_rows.dtype)  # [L, R]
 
     # tile-sorted -> gaussian-major via the (unique) presort permutation
-    d_presort = jnp.zeros((L, R), d_sorted.dtype)
-    d_presort = d_presort.at[bins.presort_pos_sorted].set(
-        d_sorted, mode="drop", unique_indices=True
-    )
+    # tile-sorted -> gaussian-major via the precomputed inverse permutation
+    # (a gather; row scatters cost ~45 ms at L=800k on TPU)
+    d_presort = d_sorted[bins.sorted_pos_of_presort]
 
     # per-Gaussian reduction over its contiguous segment: cumsum difference
     csum = jnp.cumsum(d_presort, axis=0)  # [L, R]
@@ -753,10 +752,7 @@ def _flat_gather_bwd(nx, ny, tilesize, res, gout):
     e = jnp.arange(L, dtype=jnp.int32)
     d_sorted = d_sorted * (e < bins.total_entries)[:, None]
 
-    d_presort = jnp.zeros((L, NUM_ROWS), d_sorted.dtype)
-    d_presort = d_presort.at[bins.presort_pos_sorted].set(
-        d_sorted, mode="drop", unique_indices=True
-    )
+    d_presort = d_sorted[bins.sorted_pos_of_presort]
     csum = jnp.cumsum(d_presort, axis=0)
     seg_end = jnp.clip(bins.seg_offsets + bins.seg_counts - 1, 0, L - 1)
     end_vals = csum[seg_end]
