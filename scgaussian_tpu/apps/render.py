@@ -46,7 +46,7 @@ def render_set(model_path, name, iteration, cameras, model, bg_color, backend="t
     from scgaussian_tpu.data.ply import store_point_cloud
     from scgaussian_tpu.losses import pixel_loss_map
     from scgaussian_tpu.renderer.project import sh_to_color
-    from scgaussian_tpu.train.main_stage import render_model
+    from scgaussian_tpu.train.main_stage import render_model_jit as render_model
 
     base = os.path.join(model_path, name, f"ours_{iteration}")
     dirs = {k: os.path.join(base, k) for k in ("renders", "gt", "depth", "error_map", "dtumask")}

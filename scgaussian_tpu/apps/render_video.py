@@ -20,7 +20,7 @@ def main(argv=None):
     from scgaussian_tpu.apps.render import save_image, save_turbo_depth
     from scgaussian_tpu.data.scene import VideoScene
     from scgaussian_tpu.model import io as model_io
-    from scgaussian_tpu.train.main_stage import render_model
+    from scgaussian_tpu.train.main_stage import render_model_jit as render_model
 
     parser = ArgumentParser(description="Video rendering parameters")
     parser.add_argument("--source_path", "-s", type=str, default=None)

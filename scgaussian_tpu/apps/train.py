@@ -78,7 +78,7 @@ def main(argv=None):
     from scgaussian_tpu.losses import l1_loss, psnr
     from scgaussian_tpu.model import io as model_io
     from scgaussian_tpu.train import optim, pipeline
-    from scgaussian_tpu.train.main_stage import render_model
+    from scgaussian_tpu.train.main_stage import render_model_jit as render_model
 
     args = build_parser().parse_args(argv)
     if not args.model_path:

@@ -69,6 +69,13 @@ def render_model(
     )
 
 
+render_model_jit = jax.jit(
+    render_model, static_argnames=("backend", "raster", "scaling_modifier")
+)
+"""Jitted render_model for eval/render loops (eager dispatch of the full
+render graph costs ~ms/op through the device tunnel)."""
+
+
 def dtu_background_mask(gt_image: jnp.ndarray, dark_threshold: float, shift_rows: int):
     """DTU dark-background mask (`train.py:149-158`): pixel is background iff
     it and the `shift_rows-1` rows above it are all darker than the threshold."""
