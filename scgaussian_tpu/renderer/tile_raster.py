@@ -541,7 +541,7 @@ def _flat_bwd_kernel(
     counts_ref, starts_ref, tids_ref,
     tri_ref, attrsT_ref, gout_ref, dzero_ref,
     dT_ref,
-    buf, dbuf, accbuf, sems, wsem,
+    buf, dbuf, accbuf, sems, wsems,
 ):
     del dzero_ref  # aliased to dT_ref; provides the zero initialization
     P = tilesize * tilesize
@@ -640,25 +640,56 @@ def _flat_bwd_kernel(
         dbuf[ROW_OP : ROW_OP + 1, :] = rowsum(d_op)
         dbuf[ROW_OP + 1 :, :] = jnp.zeros((NUM_ROWS - ROW_OP - 1, CHUNK), jnp.float32)
 
-        # read-modify-write: aligned boundary windows hold neighbor tiles'
-        # gradients (written by earlier grid steps — sequential order + the
-        # immediate wait below make this race-free). Our contribution is
-        # zero outside [start, start+cnt) by the in-segment mask.
-        rd = pltpu.make_async_copy(
-            dT_ref.at[:, pl.ds(base + k * CHUNK, CHUNK)], accbuf, wsem
-        )
-        rd.start()
-        rd.wait()
-        accbuf[:, :] = accbuf[:, :] + dbuf[:, :]
-        out_dma = pltpu.make_async_copy(
-            accbuf, dT_ref.at[:, pl.ds(base + k * CHUNK, CHUNK)], wsem
-        )
-        out_dma.start()
-        out_dma.wait()
+        # Windows are floor-aligned, so only the HEAD window (k == 0) can
+        # hold a predecessor tile's already-written gradients — read-modify-
+        # write just that one; interior/tail windows are plain double-
+        # buffered writes. The predecessor drained its writes before its
+        # grid step ended, and we drain ours below, so cross-tile boundary
+        # windows are ordered. Our contribution is zero outside
+        # [start, start+cnt) by the in-segment mask.
+        slot2 = jax.lax.rem(k, 2)
+
+        def wr_dma(kk, ss):
+            return pltpu.make_async_copy(
+                accbuf.at[ss], dT_ref.at[:, pl.ds(base + kk * CHUNK, CHUNK)], wsems.at[ss]
+            )
+
+        @pl.when(k >= 2)
+        def _():
+            wr_dma(k - 2, slot2).wait()  # slot reuse guard
+
+        @pl.when(k == 0)
+        def _():
+            rd = pltpu.make_async_copy(
+                dT_ref.at[:, pl.ds(base, CHUNK)], accbuf.at[0], wsems.at[0]
+            )
+            rd.start()
+            rd.wait()
+            accbuf[0, :, :] = accbuf[0, :, :] + dbuf[:, :]
+
+        @pl.when(k > 0)
+        def _():
+            accbuf[slot2, :, :] = dbuf[:, :]
+
+        wr_dma(k, slot2).start()
         prefix = prefix + jnp.sum(gww, axis=1, keepdims=True)
         return logT_next, done_next, prefix
 
     jax.lax.fori_loop(0, nchunks, body2, (logT0, done0, jnp.zeros((P, 1), jnp.float32)))
+
+    # drain outstanding gradient writes before the next grid step may read
+    # the shared boundary window
+    def _drain(kk):
+        @pl.when(kk >= 0)
+        def _():
+            pltpu.make_async_copy(
+                accbuf.at[jax.lax.rem(kk, 2)],
+                dT_ref.at[:, pl.ds(base + kk * CHUNK, CHUNK)],
+                wsems.at[jax.lax.rem(kk, 2)],
+            ).wait()
+
+    _drain(nchunks - 2)
+    _drain(nchunks - 1)
 
 
 def _flat_fwd_impl(attrsT, counts, starts, tile_ids, nx, ny, tilesize):
@@ -703,9 +734,9 @@ def _flat_bwd_impl(attrsT, counts, starts, tile_ids, gout, nx, ny, tilesize):
         scratch_shapes=[
             pltpu.VMEM((2, NUM_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((NUM_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((NUM_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_ROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dzero = jnp.zeros((NUM_ROWS, Lpad), jnp.float32)
