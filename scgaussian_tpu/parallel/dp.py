@@ -65,10 +65,14 @@ def dp_train_step(
         cam = jax.tree_util.tree_map(lambda x: x[0], cam)
         gt = gt[0]
         vid = vid[0]
+        width, height = cam.width, cam.height
+        offset0 = jnp.zeros((model.total, 2), jnp.float32)
 
-        def loss_fn(p):
+        def loss_fn(p, off):
             m = dataclasses.replace(model, params=p)
-            out = render_model(cam, m, bg_color, backend=backend, raster=raster)
+            out = render_model(
+                cam, m, bg_color, mean2d_offset=off, backend=backend, raster=raster
+            )
             ll1 = l1_loss(out.render, gt)
             loss = (1 - opt_cfg.lambda_dssim) * ll1 + opt_cfg.lambda_dssim * (
                 1 - ssim(out.render, gt)
@@ -76,22 +80,40 @@ def dp_train_step(
             loss = loss + extras.render_match_loss_weight * matchloss_from_renderdepth(
                 bundle, vid, out.rendered_depth
             )
-            return loss
+            return loss, out.radii
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, radii), (grads, g_off) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, offset0)
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
-        return loss, grads
+        # densification stats, SUMMED over the camera batch (reference
+        # accumulates one camera/iter; DP accumulates k cameras/step)
+        vis = radii > 0
+        g_ndc = g_off * jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)[None, :]
+        norm = jnp.linalg.norm(g_ndc, axis=-1, keepdims=True)
+        d_accum = jax.lax.psum(jnp.where(vis[:, None], norm, 0.0), axis)
+        d_denom = jax.lax.psum(vis[:, None].astype(jnp.float32), axis)
+        radii_max = jax.lax.pmax(jnp.where(vis, radii, 0), axis)
+        return loss, grads, d_accum, d_denom, radii_max
 
     shard = functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
         check_vma=False,
     )
-    loss, grads = shard(per_device)(model.params, cameras, gt_images, view_idx)
+    loss, grads, d_accum, d_denom, radii_max = shard(per_device)(
+        model.params, cameras, gt_images, view_idx
+    )
 
+    model = dataclasses.replace(
+        model,
+        xyz_gradient_accum=model.xyz_gradient_accum + d_accum,
+        denom=model.denom + d_denom,
+        max_radii2d=jnp.maximum(model.max_radii2d, radii_max.astype(jnp.float32)),
+    )
     lrs = lr_tree(model.params, opt_cfg, model.spatial_lr_scale, iteration)
     new_params, opt_state = optim.apply(model.params, grads, opt_state, lrs)
     model = dataclasses.replace(model, params=new_params)
