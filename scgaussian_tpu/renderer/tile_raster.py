@@ -54,7 +54,7 @@ NUM_ROWS = 16  # 10 used + 6 pad; multiple of the f32 sublane tile (8) so
 # [NUM_ROWS, C] DMA slices of the flat attribute array stay layout-aligned
 
 # columns of the output layout [T, P, 8]
-OUT_R, OUT_G, OUT_B, OUT_D, OUT_LOGT = 0, 1, 2, 3, 4
+OUT_R, OUT_G, OUT_B, OUT_D, OUT_LOGT, OUT_LASTP = 0, 1, 2, 3, 4, 5
 
 
 def _pix_coords(tile_id, nx: int, tilesize: int, P: int):
@@ -505,7 +505,7 @@ def _flat_fwd_kernel(
         in_dma(0, 0).start()
 
     def body(k, carry):
-        logT, done, acc = carry
+        logT, done, acc, lastp = carry
         slot = jax.lax.rem(k, 2)
 
         @pl.when(k + 1 < nchunks)
@@ -527,22 +527,47 @@ def _flat_fwd_kernel(
         done = jnp.maximum(
             done, jnp.where(logT_after[:, CHUNK - 1 :] < LOG_T_EPS, 1.0, 0.0)
         )
-        return logT, done, acc
+        # per-pixel 1-based position (within the tile segment) of the last
+        # contributing splat — consumed by the single-pass reverse backward
+        pos1 = (
+            base + k * CHUNK
+            + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            - start + 1
+        ).astype(jnp.float32)
+        lastp = jnp.maximum(
+            lastp,
+            jnp.max(pos1 * jnp.where(alpha > 0.0, inc, 0.0), axis=1, keepdims=True),
+        )
+        return logT, done, acc, lastp
 
     logT0 = jnp.zeros((P, 1), jnp.float32)
     done0 = jnp.zeros((P, 1), jnp.float32)
     acc0 = jnp.zeros((P, 4), jnp.float32)
-    logT, _, acc = jax.lax.fori_loop(0, nchunks, body, (logT0, done0, acc0))
-    out_ref[0] = jnp.concatenate([acc, logT, jnp.zeros((P, 3), jnp.float32)], axis=1)
+    lastp0 = jnp.zeros((P, 1), jnp.float32)
+    logT, _, acc, lastp = jax.lax.fori_loop(0, nchunks, body, (logT0, done0, acc0, lastp0))
+    out_ref[0] = jnp.concatenate(
+        [acc, logT, lastp, jnp.zeros((P, 2), jnp.float32)], axis=1
+    )
 
 
 def _flat_bwd_kernel(
     nx: int, tilesize: int,
     counts_ref, starts_ref, tids_ref,
-    tri_ref, attrsT_ref, gout_ref, dzero_ref,
+    tri_ref, attrsT_ref, gout_ref, fout_ref, dzero_ref,
     dT_ref,
     buf, dbuf, accbuf, sems, wsems,
 ):
+    """Single-pass REVERSE backward (the CUDA back-to-front trick, log-form):
+
+    walking chunks back to front with the forward's saved final
+    transmittance and per-pixel last-contributor position, the per-splat
+    transmittance-before is reconstructed as
+        logT_before_i = logT_fin - sum_{j >= i, included} l_j
+    and the suffix sums A_i = sum_{j > i} g_w_j w_j accumulate naturally in
+    the walk — one DMA sweep and ~half the recompute of the two-forward-pass
+    formulation. Inclusion needs no transmittance test at all:
+    included == live AND position < last_contributor (inclusion is a prefix
+    under the sticky early-stop)."""
     del dzero_ref  # aliased to dT_ref; provides the zero initialization
     P = tilesize * tilesize
     t = pl.program_id(0)
@@ -552,6 +577,8 @@ def _flat_bwd_kernel(
     pixx, pixy = _pix_coords(tids_ref[t], nx, tilesize, P)
     g_attrs = gout_ref[0, :, 0:4]
     g_logT = gout_ref[0, :, 4:5]
+    logT_fin = fout_ref[0, :, OUT_LOGT : OUT_LOGT + 1]  # [P, 1]
+    last_pos = fout_ref[0, :, OUT_LASTP : OUT_LASTP + 1]  # [P, 1] 1-based
     nchunks = jnp.where(cnt > 0, pl.cdiv(start + cnt - base, CHUNK), 0)
 
     def in_dma(k, slot):
@@ -561,67 +588,47 @@ def _flat_bwd_kernel(
             sems.at[slot],
         )
 
-    def common(k, slot, logT, done):
+    @pl.when(nchunks > 0)
+    def _():
+        in_dma(nchunks - 1, 0).start()
+
+    def body(r, carry):
+        suffixL, suffixA = carry
+        k = nchunks - 1 - r
+        slot = jax.lax.rem(r, 2)
+
+        @pl.when(r + 1 < nchunks)
+        def _():
+            in_dma(k - 1, jax.lax.rem(r + 1, 2)).start()
+
+        in_dma(k, slot).wait()
         dx, dy, ca, cb, cc, op, G, alpha, live, attrs4 = _flat_chunk_geometry(
             buf, slot, base, k, start, cnt, pixx, pixy
         )
-        l = jnp.log1p(-alpha)
-        S = jnp.dot(l, tri_ref[:], preferred_element_type=jnp.float32)
-        logT_after = logT + S
-        inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done)
-        T_before = jnp.exp(logT_after - l)
-        w = alpha * T_before * inc
-        g_w = jnp.dot(g_attrs, attrs4, preferred_element_type=jnp.float32)
-        logT_next = logT + jnp.sum(l * inc, axis=1, keepdims=True)
-        done_next = jnp.maximum(
-            done, jnp.where(logT_after[:, CHUNK - 1 :] < LOG_T_EPS, 1.0, 0.0)
+        pos1 = (
+            base + k * CHUNK
+            + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            - start + 1
+        ).astype(jnp.float32)
+        inc = live * jnp.where(pos1 <= last_pos, 1.0, 0.0)  # [P, C]
+        alpha = alpha * inc
+        l = jnp.log1p(-alpha)  # zero where excluded
+
+        # reverse (suffix-inclusive) cumsum along lanes: contract with the
+        # TRANSPOSED triangular matrix
+        S_rev = jax.lax.dot_general(
+            l, tri_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return (dx, dy, ca, cb, cc, op, G, alpha, live, inc, T_before, w, g_w,
-                logT_next, done_next)
-
-    # pass 1: total g_w * w
-    @pl.when(nchunks > 0)
-    def _():
-        in_dma(0, 0).start()
-
-    def body1(k, carry):
-        logT, done, total = carry
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(k + 1 < nchunks)
-        def _():
-            in_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
-
-        in_dma(k, slot).wait()
-        *_, w, g_w, logT_next, done_next = common(k, slot, logT, done)
-        return logT_next, done_next, total + jnp.sum(g_w * w, axis=1, keepdims=True)
-
-    logT0 = jnp.zeros((P, 1), jnp.float32)
-    done0 = jnp.zeros((P, 1), jnp.float32)
-    _, _, total = jax.lax.fori_loop(
-        0, nchunks, body1, (logT0, done0, jnp.zeros((P, 1), jnp.float32))
-    )
-
-    # pass 2: per-entry grads, written back chunk by chunk
-    @pl.when(nchunks > 0)
-    def _():
-        in_dma(0, 0).start()
-
-    def body2(k, carry):
-        logT, done, prefix = carry
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(k + 1 < nchunks)
-        def _():
-            in_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
-
-        in_dma(k, slot).wait()
-        (dx, dy, ca, cb, cc, op, G, alpha, live, inc, T_before, w, g_w,
-         logT_next, done_next) = common(k, slot, logT, done)
+        logT_after = logT_fin - (suffixL + S_rev - l)
+        T_before = jnp.exp(logT_after - l)
+        w = alpha * T_before
+        g_w = jnp.dot(g_attrs, attrs4, preferred_element_type=jnp.float32)
         gww = g_w * w
-        prefix_inc = prefix + jnp.dot(gww, tri_ref[:], preferred_element_type=jnp.float32)
-        A = total - prefix_inc
-        d_alpha = (g_w * T_before - (A + g_logT) / (1.0 - alpha)) * inc * live
+        A_rev = jax.lax.dot_general(
+            gww, tri_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        A = suffixA + (A_rev - gww)  # strict suffix over j > i
+        d_alpha = (g_w * T_before - (A + g_logT) / (1.0 - alpha)) * inc
         d_op = G * d_alpha
         d_power = op * d_alpha * G
         d_attrs = jax.lax.dot_general(
@@ -630,6 +637,22 @@ def _flat_bwd_kernel(
 
         def rowsum(x):
             return jnp.sum(x, axis=0, keepdims=True)
+
+        # Windows are floor-aligned, so only the k == 0 window can hold a
+        # predecessor tile's gradients (read-modify-write just that one);
+        # other windows are exclusive double-buffered writes. k == 0 is the
+        # LAST reverse iteration, so all hazards stay within this grid step
+        # plus the drained predecessor.
+        slot2 = jax.lax.rem(r, 2)
+
+        def wr_dma(kk, ss):
+            return pltpu.make_async_copy(
+                accbuf.at[ss], dT_ref.at[:, pl.ds(base + kk * CHUNK, CHUNK)], wsems.at[ss]
+            )
+
+        @pl.when(r >= 2)
+        def _():
+            wr_dma(nchunks - 1 - (r - 2), slot2).wait()  # slot reuse guard
 
         dbuf[ROW_MX : ROW_MX + 1, :] = rowsum(d_power * (-(ca * dx + cb * dy)))
         dbuf[ROW_MY : ROW_MY + 1, :] = rowsum(d_power * (-(cc * dy + cb * dx)))
@@ -640,52 +663,38 @@ def _flat_bwd_kernel(
         dbuf[ROW_OP : ROW_OP + 1, :] = rowsum(d_op)
         dbuf[ROW_OP + 1 :, :] = jnp.zeros((NUM_ROWS - ROW_OP - 1, CHUNK), jnp.float32)
 
-        # Windows are floor-aligned, so only the HEAD window (k == 0) can
-        # hold a predecessor tile's already-written gradients — read-modify-
-        # write just that one; interior/tail windows are plain double-
-        # buffered writes. The predecessor drained its writes before its
-        # grid step ended, and we drain ours below, so cross-tile boundary
-        # windows are ordered. Our contribution is zero outside
-        # [start, start+cnt) by the in-segment mask.
-        slot2 = jax.lax.rem(k, 2)
-
-        def wr_dma(kk, ss):
-            return pltpu.make_async_copy(
-                accbuf.at[ss], dT_ref.at[:, pl.ds(base + kk * CHUNK, CHUNK)], wsems.at[ss]
-            )
-
-        @pl.when(k >= 2)
-        def _():
-            wr_dma(k - 2, slot2).wait()  # slot reuse guard
-
         @pl.when(k == 0)
         def _():
             rd = pltpu.make_async_copy(
-                dT_ref.at[:, pl.ds(base, CHUNK)], accbuf.at[0], wsems.at[0]
+                dT_ref.at[:, pl.ds(base, CHUNK)], accbuf.at[slot2], wsems.at[slot2]
             )
             rd.start()
             rd.wait()
-            accbuf[0, :, :] = accbuf[0, :, :] + dbuf[:, :]
+            accbuf[slot2, :, :] = accbuf[slot2, :, :] + dbuf[:, :]
 
         @pl.when(k > 0)
         def _():
             accbuf[slot2, :, :] = dbuf[:, :]
 
         wr_dma(k, slot2).start()
-        prefix = prefix + jnp.sum(gww, axis=1, keepdims=True)
-        return logT_next, done_next, prefix
 
-    jax.lax.fori_loop(0, nchunks, body2, (logT0, done0, jnp.zeros((P, 1), jnp.float32)))
+        suffixL = suffixL + jnp.sum(l, axis=1, keepdims=True)
+        suffixA = suffixA + jnp.sum(gww, axis=1, keepdims=True)
+        return suffixL, suffixA
 
-    # drain outstanding gradient writes before the next grid step may read
-    # the shared boundary window
-    def _drain(kk):
-        @pl.when(kk >= 0)
+    zeros = jnp.zeros((P, 1), jnp.float32)
+    jax.lax.fori_loop(0, nchunks, body, (zeros, zeros))
+
+    # drain outstanding gradient writes (reverse order: last two iterations
+    # wrote windows k = 1 and k = 0)
+    def _drain(rr):
+        @pl.when((rr >= 0) & (rr < nchunks))
         def _():
+            kk = nchunks - 1 - rr
             pltpu.make_async_copy(
-                accbuf.at[jax.lax.rem(kk, 2)],
+                accbuf.at[jax.lax.rem(rr, 2)],
                 dT_ref.at[:, pl.ds(base + kk * CHUNK, CHUNK)],
-                wsems.at[jax.lax.rem(kk, 2)],
+                wsems.at[jax.lax.rem(rr, 2)],
             ).wait()
 
     _drain(nchunks - 2)
@@ -717,7 +726,7 @@ def _flat_fwd_impl(attrsT, counts, starts, tile_ids, nx, ny, tilesize):
     )(counts, starts, tile_ids, _tri_matrix(), attrsT)
 
 
-def _flat_bwd_impl(attrsT, counts, starts, tile_ids, gout, nx, ny, tilesize):
+def _flat_bwd_impl(attrsT, counts, starts, tile_ids, gout, fout, nx, ny, tilesize):
     R, Lpad = attrsT.shape
     T = counts.shape[0]
     P = tilesize * tilesize
@@ -727,6 +736,7 @@ def _flat_bwd_impl(attrsT, counts, starts, tile_ids, gout, nx, ny, tilesize):
         in_specs=[
             pl.BlockSpec((CHUNK, CHUNK), lambda i, c, s, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
@@ -746,8 +756,8 @@ def _flat_bwd_impl(attrsT, counts, starts, tile_ids, gout, nx, ny, tilesize):
         grid_spec=grid_spec,
         interpret=_use_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        input_output_aliases={6: 0},
-    )(counts, starts, tile_ids, _tri_matrix(), attrsT, gout, dzero)
+        input_output_aliases={7: 0},
+    )(counts, starts, tile_ids, _tri_matrix(), attrsT, gout, fout, dzero)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -767,16 +777,16 @@ def _flat_gather_fwd(attrs, bins, nx, ny, tilesize):
     out = _flat_fwd_impl(
         attrsT, bins.counts, bins.starts[:T], tile_ids, nx, ny, tilesize
     )
-    return out, (attrsT, bins, attrs.shape[0])
+    return out, (attrsT, bins, attrs.shape[0], out)
 
 
 def _flat_gather_bwd(nx, ny, tilesize, res, gout):
-    attrsT, bins, n_attr = res
+    attrsT, bins, n_attr, fout = res
     T = nx * ny
     L = bins.orig_idx_sorted.shape[0]
     tile_ids = jnp.arange(T, dtype=jnp.int32)
     dT = _flat_bwd_impl(
-        attrsT, bins.counts, bins.starts[:T], tile_ids, gout, nx, ny, tilesize
+        attrsT, bins.counts, bins.starts[:T], tile_ids, gout, fout, nx, ny, tilesize
     )
     d_sorted = dT[:, :L].T  # [L, R]
     # guard the never-written sentinel region against uninitialized memory
