@@ -75,6 +75,10 @@ def bin_gaussians(
     rect_min, rect_max = tile_rect(mean2d_s, radius_s, width, height, tile)
     cov_w = rect_max[:, 0] - rect_min[:, 0]
     cov = cov_w * (rect_max[:, 1] - rect_min[:, 1])  # [N] tiles covered
+    # CUDA emits duplicates only for radii > 0 (the rect of a culled
+    # Gaussian still covers one tile because of the ceil); ghost entries
+    # would also pick up fp32 cumsum noise as phantom gradients.
+    cov = jnp.where(radius_s > 0, cov, 0)
 
     offs = jnp.cumsum(cov) - cov  # exclusive prefix (gaussian-major segments)
     total = jnp.sum(cov)

@@ -120,8 +120,10 @@ def sh_to_color(
     dirs = means3d - campos[None, :]
     # safe normalize: a Gaussian exactly at the camera center (e.g. a dead
     # fixed-capacity slot parked at the origin) must not poison the batch
-    # with NaNs — forward (0/0) OR backward (norm gradient at 0).
-    dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20)
+    # with NaNs — forward (0/0) OR backward (norm gradient at 0). The eps
+    # bounds the backward amplification to ~1e6 so numerical-noise
+    # cotangents on culled Gaussians cannot explode.
+    dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-12)
     sh_cm = jnp.swapaxes(shs, -1, -2)  # [N, 3, K] channel-major for eval_sh
     rgb = sh_lib.eval_sh(active_sh_degree, sh_cm, dirs) + 0.5
     return jnp.maximum(rgb, 0.0)

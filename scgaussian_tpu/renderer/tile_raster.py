@@ -418,7 +418,11 @@ def rasterize(
     attrs = attrs_matrix(proj)
 
     if flat:
-        out = flat_gather_composite(attrs, bins, nx, ny, tile)  # [T, P, 8]
+        T_full = nx * ny
+        out = flat_gather_composite(
+            attrs, bins, bins.starts[:T_full], bins.counts,
+            jnp.arange(T_full, dtype=jnp.int32), nx, ny, tile,
+        )  # [T, P, 8]
     else:
         out = gather_composite(attrs, bins, nx, ny, tile, max_per_tile)
 
@@ -760,33 +764,32 @@ def _flat_bwd_impl(attrsT, counts, starts, tile_ids, gout, fout, nx, ny, tilesiz
     )(counts, starts, tile_ids, _tri_matrix(), attrsT, gout, fout, dzero)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def flat_gather_composite(attrs, bins, nx, ny, tilesize):
-    out, _ = _flat_gather_fwd(attrs, bins, nx, ny, tilesize)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flat_gather_composite(attrs, bins, starts_slice, counts_slice, tile_ids, nx, ny, tilesize):
+    """Composite the tiles described by (starts_slice, counts_slice,
+    tile_ids) — the full grid for single-device use, or a shard's slice
+    under tile sharding — with the scatter-free custom VJP."""
+    out, _ = _flat_gather_fwd(attrs, bins, starts_slice, counts_slice, tile_ids, nx, ny, tilesize)
     return out
 
 
-def _flat_gather_fwd(attrs, bins, nx, ny, tilesize):
-    T = nx * ny
+def _flat_gather_fwd(attrs, bins, starts_slice, counts_slice, tile_ids, nx, ny, tilesize):
     L = bins.orig_idx_sorted.shape[0]
     sorted_attrs = attrs[bins.orig_idx_sorted]  # [L, R] single row gather
     attrsT = jnp.concatenate(
         [sorted_attrs.T, jnp.zeros((NUM_ROWS, CHUNK), attrs.dtype)], axis=1
     )  # [R, L + CHUNK] overhang pad
-    tile_ids = jnp.arange(T, dtype=jnp.int32)
     out = _flat_fwd_impl(
-        attrsT, bins.counts, bins.starts[:T], tile_ids, nx, ny, tilesize
+        attrsT, counts_slice, starts_slice, tile_ids, nx, ny, tilesize
     )
-    return out, (attrsT, bins, attrs.shape[0], out)
+    return out, (attrsT, bins, starts_slice, counts_slice, tile_ids, attrs.shape[0], out)
 
 
 def _flat_gather_bwd(nx, ny, tilesize, res, gout):
-    attrsT, bins, n_attr, fout = res
-    T = nx * ny
+    attrsT, bins, starts_slice, counts_slice, tile_ids, n_attr, fout = res
     L = bins.orig_idx_sorted.shape[0]
-    tile_ids = jnp.arange(T, dtype=jnp.int32)
     dT = _flat_bwd_impl(
-        attrsT, bins.counts, bins.starts[:T], tile_ids, gout, fout, nx, ny, tilesize
+        attrsT, counts_slice, starts_slice, tile_ids, gout, fout, nx, ny, tilesize
     )
     d_sorted = dT[:, :L].T  # [L, R]
     # guard the never-written sentinel region against uninitialized memory
@@ -812,7 +815,8 @@ def _flat_gather_bwd(nx, ny, tilesize, res, gout):
     from jax.dtypes import float0
 
     d_bins = jax.tree_util.tree_map(lambda x: np.zeros(x.shape, float0), bins)
-    return d_attrs, d_bins
+    z = lambda x: np.zeros(x.shape, float0)
+    return d_attrs, d_bins, z(starts_slice), z(counts_slice), z(tile_ids)
 
 
 flat_gather_composite.defvjp(_flat_gather_fwd, _flat_gather_bwd)

@@ -119,3 +119,53 @@ def test_tile_sharded_render_matches_single(setup):
     np.testing.assert_allclose(np.asarray(img2), np.asarray(img1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-6)
+
+
+def test_primitive_tile_2d_mesh_render(setup):
+    """2-D (prim, tiles) mesh: fully sharded render matches single-device,
+    and gradients flow through the all-gather/reduce-scatter transposes."""
+    import jax.numpy as jnp
+    from scgaussian_tpu.parallel import primitives as prim
+    from scgaussian_tpu.renderer import project as pm
+    from scgaussian_tpu.renderer import tile_raster as tr
+
+    scene, model = setup
+    cam = scene["cams"][0]
+    n = model.total
+    # pad the primitive axis to a multiple of 2
+    pad = (-n) % 2
+    means = jnp.concatenate([model.get_xyz(), jnp.zeros((pad, 3))])
+    opac = jnp.concatenate([model.get_opacity().reshape(-1), jnp.zeros((pad,))])
+    scl = jnp.concatenate([model.get_scaling(), jnp.full((pad, 3), 1e-6)])
+    rot = jnp.concatenate([model.get_rotation(), jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (pad, 1))])
+    shs = jnp.concatenate([model.get_features(), jnp.zeros((pad, 16, 3))])
+
+    mesh = prim.make_mesh_2d(2, 4)
+    img2, d2, a2 = prim.render_sharded(
+        mesh, cam, means, opac, scl, rot, shs, jnp.zeros(3), entry_budget=8192
+    )
+
+    proj = pm.project(cam, means, opac, scales=scl, rotations=rot, shs=shs, active_sh_degree=3)
+    img1, d1, a1 = tr.rasterize(proj, cam.width, cam.height, jnp.zeros(3), entry_budget=8192)
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(img1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-6)
+
+    # gradient flow through both collectives
+    def loss(means, opac):
+        img, d, a = prim.render_sharded(
+            mesh, cam, means, opac, scl, rot, shs, jnp.zeros(3), entry_budget=8192
+        )
+        return jnp.sum(img**2)
+
+    g_means, g_opac = jax.grad(loss, argnums=(0, 1))(means, opac)
+
+    def loss1(means, opac):
+        p = pm.project(cam, means, opac, scales=scl, rotations=rot, shs=shs, active_sh_degree=3)
+        img, d, a = tr.rasterize(p, cam.width, cam.height, jnp.zeros(3), entry_budget=8192)
+        return jnp.sum(img**2)
+
+    g1_means, g1_opac = jax.grad(loss1, argnums=(0, 1))(means, opac)
+    scale = np.abs(np.asarray(g1_means)).max() + 1e-8
+    np.testing.assert_allclose(np.asarray(g_means), np.asarray(g1_means), atol=1e-4 * scale)
+    scale = np.abs(np.asarray(g1_opac)).max() + 1e-8
+    np.testing.assert_allclose(np.asarray(g_opac), np.asarray(g1_opac), atol=1e-4 * scale)
