@@ -32,6 +32,8 @@ def main(argv=None):
     parser.add_argument("--backend", type=str, default="tpu")
     parser.add_argument("--bg_capacity", type=int, default=65536)
     parser.add_argument("--fps", type=int, default=30)
+    parser.add_argument("--max_frames", type=int, default=None,
+                        help="render only the first N path frames")
     args = parser.parse_args(argv)
 
     cfg_path = os.path.join(args.model_path, "cfg_args.json")
@@ -63,6 +65,8 @@ def main(argv=None):
     os.makedirs(frames_dir, exist_ok=True)
 
     cams = scene.test_cameras
+    if args.max_frames is not None:
+        cams = cams[: args.max_frames]
     W, H = cams[0].width, cams[0].height
     fourcc = cv2.VideoWriter_fourcc(*"XVID")
     vid_rgb = cv2.VideoWriter(os.path.join(base, "video_rgb.avi"), fourcc, args.fps, (W, H))

@@ -155,3 +155,28 @@ def test_resume_from_checkpoint(scene_dir, tmp_path):
     )
     assert state.iteration == 20
     assert os.path.exists(os.path.join(model_dir, "chkpnt20.npz"))
+
+
+def test_render_video_llff_spiral(scene_dir, tmp_path):
+    """render_video CLI over the LLFF spiral path (poses_bounds.npy from
+    gen_poses on the synthetic scene)."""
+    from scgaussian_tpu.apps import render_video as rv_app
+    from scgaussian_tpu.apps import train as train_app
+    from scgaussian_tpu.data.pose_utils import gen_poses
+
+    gen_poses(scene_dir)
+    model_dir = str(tmp_path / "model_video")
+    train_app.main([
+        "-s", scene_dir, "-m", model_dir, "-r", "1", "--eval",
+        "--iterations", "5", "--init_iterations", "50",
+        "--densify_from_iter", "10000", "--bg_capacity", "128",
+        "--backend", "oracle", "--test_iterations", "-1",
+        "--save_iterations", "5", "--opacity_reset_interval", "10000",
+    ])
+    rv_app.main(["-m", model_dir, "-s", scene_dir, "--backend", "oracle",
+                 "--max_frames", "12"])
+    base = os.path.join(model_dir, "video", "ours_5")
+    frames = [f for f in os.listdir(os.path.join(base, "frames")) if f.startswith("0")]
+    assert len(frames) == 12
+    assert os.path.getsize(os.path.join(base, "video_rgb.avi")) > 1000
+    assert os.path.getsize(os.path.join(base, "video_depth.avi")) > 1000
