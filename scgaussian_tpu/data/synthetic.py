@@ -28,6 +28,7 @@ def generate_scene(
     height: int = 72,
     fov: float = 0.9,
     seed: int = 0,
+    name_fmt: str = "img_{:03d}",
 ) -> dict:
     import jax.numpy as jnp
     from PIL import Image
@@ -62,7 +63,7 @@ def generate_scene(
         )
         Rs.append(np.eye(3))
         Ts.append(t)
-        names.append(f"img_{v:03d}")
+        names.append(name_fmt.format(v))
 
     # render GT images with the oracle
     for v in range(n_views):

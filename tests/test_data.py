@@ -166,3 +166,42 @@ def test_blender_reader(tmp_path):
     assert (arr[:10] > 250).all()
     np.testing.assert_allclose(c.near_far, [1.0, 6.0])
     assert info.match_data[names[0]][names[1]].shape == (20, 2)
+
+
+def test_dtu_reader_and_dispatch(tmp_path):
+    """DTU: 49 views, fixed train indices [25, 22, 28], idr masks, dtu path
+    dispatch + is_dtu flag."""
+    from PIL import Image as PILImage
+    from scgaussian_tpu.data.readers import read_dtu_scene
+    from scgaussian_tpu.data.scene import Scene, select_scene_reader
+
+    d = tmp_path / "dtu_scan1"
+    generate_scene(str(d), n_views=49, n_gaussians=10, n_points=40, width=32,
+                   height=24, name_fmt="rect_{:03d}")
+    # idr object masks: images/../idrmask/{idx-1:03d}.png
+    (d / "idrmask").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(49):
+        m = np.zeros((24, 32, 3), np.uint8)
+        m[4:20, 6:28] = 255
+        PILImage.fromarray(m).save(d / "idrmask" / f"{i:03d}.png")
+    # match_data for the fixed train views (rect_NNN with N = idx, mask N-1)
+    all_sorted = sorted(f"rect_{i:03d}" for i in range(49))
+    names = sorted(all_sorted[i] for i in (25, 22, 28))
+    md = {
+        a: {b: rng.uniform(0.1, 0.9, (15, 2)).astype(np.float32) for b in names if b != a}
+        for a in names
+    }
+    np.save(d / "match_data.npy", md, allow_pickle=True)
+
+    info = read_dtu_scene(str(d), "images", eval=True)
+    assert len(info.train_cameras) == 3
+    expect = {all_sorted[i] for i in (25, 22, 28)}
+    assert {c.image_name for c in info.train_cameras} == expect
+    c = info.train_cameras[0]
+    assert c.dtumask is not None and c.dtumask.shape == (24, 32)
+    assert c.dtumask.max() == 1.0 and c.dtumask.min() == 0.0
+    exclude = {3, 4, 5, 6, 7, 16, 17, 18, 19, 20, 21, 36, 37, 38, 39}
+    assert len(info.test_cameras) == 49 - 3 - len(exclude) - 6  # minus rest of train_idx list
+
+    assert select_scene_reader(str(d)) == "DTU"
