@@ -244,3 +244,41 @@ def load_checkpoint(path: str, template_model: GaussianModel,
     leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(int(data["num_leaves"]))]
     model, opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
     return model, opt_state, int(data["iteration"])
+
+
+# ---------------- async checkpoints (Orbax) ----------------
+
+class AsyncCheckpointer:
+    """Orbax-backed async checkpointing (SURVEY.md 5.3-5.4): saves proceed
+    in a background thread so the train loop never blocks on persistence;
+    restart-from-checkpoint is the failure-recovery path."""
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ckpt = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+
+    def save(self, directory: str, model: GaussianModel, opt_state: optim.AdamState,
+             iteration: int) -> None:
+        leaves, _ = jax.tree_util.tree_flatten((model, opt_state))
+        payload = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+        payload["iteration"] = np.asarray(iteration)
+        payload["num_ray"] = np.asarray(model.num_ray)
+        payload["bg_capacity"] = np.asarray(model.bg_capacity)
+        self._ckpt.save(os.path.abspath(directory), payload, force=True)
+
+    def restore(self, directory: str, template_model: GaussianModel,
+                template_opt: optim.AdamState):
+        self.wait()
+        import orbax.checkpoint as ocp
+
+        sync = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        payload = sync.restore(os.path.abspath(directory))
+        _, treedef = jax.tree_util.tree_flatten((template_model, template_opt))
+        n = len(jax.tree_util.tree_flatten((template_model, template_opt))[0])
+        leaves = [jnp.asarray(payload[f"leaf_{i}"]) for i in range(n)]
+        model, opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        return model, opt_state, int(payload["iteration"])
+
+    def wait(self) -> None:
+        self._ckpt.wait_until_finished()

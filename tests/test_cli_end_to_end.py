@@ -180,3 +180,30 @@ def test_render_video_llff_spiral(scene_dir, tmp_path):
     assert len(frames) == 12
     assert os.path.getsize(os.path.join(base, "video_rgb.avi")) > 1000
     assert os.path.getsize(os.path.join(base, "video_depth.avi")) > 1000
+
+
+def test_async_checkpointer(tmp_path):
+    from scgaussian_tpu.model import io as model_io
+    from scgaussian_tpu.model.gaussians import create_model
+    from scgaussian_tpu.train import optim
+
+    rng = np.random.default_rng(0)
+    nr = 8
+    model = create_model(
+        rng.normal(size=(nr, 3)).astype(np.float32),
+        rng.normal(size=(nr, 3)).astype(np.float32),
+        rng.uniform(1, 5, nr).astype(np.float32),
+        rng.uniform(size=(nr, 3)).astype(np.float32),
+        3, 1.0, bg_capacity=16,
+    )
+    opt = optim.init(model.params)
+    ck = model_io.AsyncCheckpointer()
+    d = str(tmp_path / "async_ck")
+    ck.save(d, model, opt, 77)
+    ck.wait()
+    m2, o2, it = ck.restore(d, model, opt)
+    assert it == 77
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(model), jax.tree_util.tree_leaves(m2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
