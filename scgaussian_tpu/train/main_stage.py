@@ -44,22 +44,50 @@ def render_model(
     backend: str = "tpu",
     raster: RasterizerConfig = RasterizerConfig(),
     scaling_modifier: float = 1.0,
+    convert_shs_python: bool = False,
+    compute_cov3d_python: bool = False,
 ):
     """The `render(viewpoint, gaussians, pipe, bg)` analog
-    (`gaussian_renderer/__init__.py:20-118`) over a GaussianModel."""
+    (`gaussian_renderer/__init__.py:20-118`) over a GaussianModel.
+
+    convert_shs_python / compute_cov3d_python mirror the reference's
+    PipelineParams debug paths (`gaussian_renderer/__init__.py:59-96`):
+    colors / 3D covariance are precomputed outside the rasterizer's own
+    SH/covariance stages."""
     kw = {}
     if backend == "tpu":
         kw = dict(max_per_tile=raster.max_per_tile, entry_budget=raster.entry_budget)
         from scgaussian_tpu.renderer import tile_raster  # noqa: F401
 
+    xyz = model.get_xyz()
+    shs = None
+    colors_precomp = None
+    if convert_shs_python:
+        from scgaussian_tpu.renderer.project import sh_to_color
+
+        colors_precomp = sh_to_color(
+            model.get_features(), xyz, camera.cam_center, model.max_sh_degree
+        )
+    else:
+        shs = model.get_features()
+
+    scales = rotations = cov3d_precomp = None
+    if compute_cov3d_python:
+        cov3d_precomp = model.get_covariance(scaling_modifier)
+    else:
+        scales = model.get_scaling()
+        rotations = model.get_rotation()
+
     return render(
         camera,
-        model.get_xyz(),
+        xyz,
         model.get_opacity().reshape(-1),
         bg_color,
-        scales=model.get_scaling(),
-        rotations=model.get_rotation(),
-        shs=model.get_features(),
+        scales=scales,
+        rotations=rotations,
+        shs=shs,
+        colors_precomp=colors_precomp,
+        cov3d_precomp=cov3d_precomp,
         active_sh_degree=model.max_sh_degree,  # bands masked by traced degree
         scaling_modifier=scaling_modifier,
         mean2d_offset=mean2d_offset,
@@ -70,7 +98,11 @@ def render_model(
 
 
 render_model_jit = jax.jit(
-    render_model, static_argnames=("backend", "raster", "scaling_modifier")
+    render_model,
+    static_argnames=(
+        "backend", "raster", "scaling_modifier", "convert_shs_python",
+        "compute_cov3d_python",
+    ),
 )
 """Jitted render_model for eval/render loops (eager dispatch of the full
 render graph costs ~ms/op through the device tunnel)."""

@@ -129,3 +129,24 @@ def test_dtu_background_mask_semantics():
     for i in range(1, 50):
         bg[:, i:] = bg[:, i:] * clone[:, :-i]
     np.testing.assert_array_equal(ours, bg[0].astype(bool))
+
+
+def test_pipeline_debug_paths_match(scene):
+    """convert_SHs_python / compute_cov3D_python produce identical renders
+    (the reference's rasterizer-stage oracles, PipelineParams)."""
+    bundle = scene["bundle"]
+    model, _ = pipeline.setup_from_matches(
+        bundle, jax.random.key(3), 3, 1.0,
+        extras=TrainExtras(bg_capacity=128, init_iterations=100),
+    )
+    cam = scene["cams"][0]
+    base = render_model(cam, model, jnp.zeros(3), backend="oracle")
+    for kwargs in (
+        dict(convert_shs_python=True),
+        dict(compute_cov3d_python=True),
+        dict(convert_shs_python=True, compute_cov3d_python=True),
+    ):
+        out = render_model(cam, model, jnp.zeros(3), backend="oracle", **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(out.render), np.asarray(base.render), atol=1e-5,
+        )
