@@ -29,6 +29,7 @@ def generate_scene(
     fov: float = 0.9,
     seed: int = 0,
     name_fmt: str = "img_{:03d}",
+    ring_radius: float = 0.25,
 ) -> dict:
     import jax.numpy as jnp
     from PIL import Image
@@ -59,7 +60,11 @@ def generate_scene(
     Rs, Ts, names = [], [], []
     for v in range(n_views):
         t = np.array(
-            [0.25 * np.sin(2 * np.pi * v / n_views), 0.18 * np.cos(2 * np.pi * v / n_views), 0.0]
+            [
+                ring_radius * np.sin(2 * np.pi * v / n_views),
+                0.72 * ring_radius * np.cos(2 * np.pi * v / n_views),
+                0.0,
+            ]
         )
         Rs.append(np.eye(3))
         Ts.append(t)

@@ -70,7 +70,7 @@ def _free_slot_table(bg_alive: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_screen_size", "split_n"),
+    static_argnames=("max_screen_size", "split_n", "fg_split_log_quirk"),
 )
 def densify_and_prune(
     model: GaussianModel,
@@ -82,6 +82,7 @@ def densify_and_prune(
     max_screen_size: int | None,
     percent_dense: float,
     split_n: int = 2,
+    fg_split_log_quirk: bool = True,
 ) -> Tuple[GaussianModel, optim.AdamState, jnp.ndarray]:
     """One densify+prune maintenance event (`train.py:195-197`), jitted so
     the ~50-op state surgery is one dispatch instead of eager op-by-op.
@@ -151,11 +152,17 @@ def densify_and_prune(
     new_slot = jnp.zeros((cb,), bool).at[dest].set(fits, mode="drop")
     bg_alive = model.bg_alive | new_slot
 
-    # --- fg split parents: log-scale /= 0.8*N in place (reference verbatim)
+    # --- fg split parents. The reference divides the LOG-domain scaling by
+    # 0.8*N (`scene/gaussian_model.py:889-890`) which GROWS typical
+    # (negative-log) scales — replicated by default for parity; set
+    # fg_split_log_quirk=False for the activated-domain shrink
+    # log(scale / (0.8*N)) that the bg children use.
     sel_split_fg = sel_split[:nr]
-    new_fg_scaling = jnp.where(
-        sel_split_fg[:, None], p.scaling / (0.8 * split_n), p.scaling
-    )
+    if fg_split_log_quirk:
+        fg_split_scaling = p.scaling / (0.8 * split_n)
+    else:
+        fg_split_scaling = p.scaling - jnp.log(0.8 * split_n)
+    new_fg_scaling = jnp.where(sel_split_fg[:, None], fg_split_scaling, p.scaling)
 
     # --- prune (`scene/gaussian_model.py:915-928`): opacity, screen size,
     # world size; never fg; bg split parents always pruned.
