@@ -172,9 +172,10 @@ def densify_and_prune(
     bg_max_scale = jnp.max(jnp.exp(new_bg_scaling), axis=1)
     prune_bg = bg_opacity_act < min_opacity
     if max_screen_size is not None:
-        # new slots have zero radii stats; existing keep theirs
-        bg_radii = model.max_radii2d[nr:] * (~new_slot)
-        prune_bg = prune_bg | (bg_radii > 1.5 * max_screen_size)
+        # NOTE: the reference's screen-size term is dead logic — max_radii2D
+        # is zeroed by densification_postfix (`scene/gaussian_model.py:862`)
+        # right before the prune reads it (`:924`), so big_points_vs is
+        # always all-False. Replicated (no radii-based pruning).
         prune_bg = prune_bg | (bg_max_scale > 0.2 * extent)
     prune_bg = prune_bg | sel_split[nr:]  # split bg parents die
     bg_alive = bg_alive & ~prune_bg
