@@ -8,6 +8,7 @@ arrays and are jit/vmap-friendly with static shapes.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -67,7 +68,11 @@ def covariance_from_scaling_rotation(
     the packed 6-vector the reference passes to the rasterizer.
     """
     L = build_scaling_rotation(scaling_modifier * scaling, rotation)
-    return L @ jnp.swapaxes(L, -1, -2)
+    # fp32 multiplies: covariance errors at TPU-default bf16 precision skew
+    # the conic (anisotropic Gaussians especially) by ~1e-3 relative.
+    return jnp.matmul(
+        L, jnp.swapaxes(L, -1, -2), precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def strip_symmetric(cov: jnp.ndarray) -> jnp.ndarray:

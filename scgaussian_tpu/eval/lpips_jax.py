@@ -57,6 +57,7 @@ def _conv2d(x, w, b, stride=1, padding=0):
         window_strides=(stride, stride),
         padding=[(padding, padding)] * 2,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out + b[None, :, None, None]
 

@@ -57,6 +57,9 @@ def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray, padding) -> jnp.ndarr
     """img [C, H, W], window [kh, kw] applied per channel (groups=C)."""
     c = img.shape[0]
     kernel = jnp.broadcast_to(window[None, None], (c, 1, *window.shape))
+    # HIGHEST precision is required on TPU: the default bf16 multiply error
+    # (~4e-3 on O(1) values) exceeds C2=9e-4, so the E[x^2]-mu^2 variance
+    # cancellation yields SSIM>1 on flat regions and corrupted gradients.
     return jax.lax.conv_general_dilated(
         img[None],
         kernel,
@@ -64,6 +67,7 @@ def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray, padding) -> jnp.ndarr
         padding=padding,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )[0]
 
 

@@ -155,10 +155,13 @@ def _project_to_view(bundle: MatchBundle, world_pts: jnp.ndarray, view: jnp.ndar
     """world_pts [..., M, 3] -> pixel xy + depth in `view` (w2c then K)."""
     w2c = bundle.w2c[view]  # [..., 4, 4]
     K = bundle.intr[view]
-    cam = jnp.einsum("...ij,...mj->...mi", w2c[..., :3, :3], world_pts) + w2c[
-        ..., None, :3, 3
-    ]
-    xyz = jnp.einsum("...ij,...mj->...mi", K, cam)
+    # HIGHEST: bf16-default einsum error (~1e-3) is visible in normalized
+    # pixel reprojection residuals that the match loss regresses to ~1e-3.
+    cam = jnp.einsum(
+        "...ij,...mj->...mi", w2c[..., :3, :3], world_pts,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + w2c[..., None, :3, 3]
+    xyz = jnp.einsum("...ij,...mj->...mi", K, cam, precision=jax.lax.Precision.HIGHEST)
     xy = xyz[..., :2] / (xyz[..., 2:3] + 1e-8)
     return xy, xyz[..., 2]
 
