@@ -71,7 +71,7 @@ def covariance_from_scaling_rotation(
     # fp32 multiplies: covariance errors at TPU-default bf16 precision skew
     # the conic (anisotropic Gaussians especially) by ~1e-3 relative.
     return jnp.matmul(
-        L, jnp.swapaxes(L, -1, -2), precision=jax.lax.Precision.HIGHEST
+        L, jnp.swapaxes(L, -1, -2), precision=jax.lax.Precision.HIGH
     )
 
 

@@ -47,7 +47,13 @@ def knn_mean_sq_dist(points: jnp.ndarray, k: int = 3) -> jnp.ndarray:
         d2 = (
             sq[:, None]
             + col_sq[None, :]
-            - 2.0 * jnp.dot(rows, cols.T, preferred_element_type=jnp.float32)
+            - 2.0
+            * jnp.dot(
+                rows,
+                cols.T,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         )
         # mask self-distance and padded columns
         row_ids = jnp.arange(n_pad)[:, None]

@@ -68,10 +68,11 @@ def compute_cov2d(
     tangent before building the Jacobian.
     """
     R = world_view[:3, :3]
-    # HIGHEST precision throughout projection: TPU's default bf16 multiplies
-    # carry ~1e-3 relative error, i.e. ~1px at 1080p — unacceptable for the
-    # geometry path (the CUDA reference is full fp32).
-    t = jnp.matmul(means3d, R.T, precision=jax.lax.Precision.HIGHEST) + world_view[:3, 3]
+    # HIGH (bf16_3x) precision throughout projection: TPU's default bf16
+    # multiplies carry ~1e-3 relative error, i.e. ~1px at 1080p —
+    # unacceptable for the geometry path (the CUDA reference is full fp32).
+    # bf16_3x is ~1e-6 relative (~0.002px), at ~1% of fwd+bwd step cost.
+    t = jnp.matmul(means3d, R.T, precision=jax.lax.Precision.HIGH) + world_view[:3, 3]
     # Degenerate-input safety: points at/behind the camera (e.g. dead
     # fixed-capacity slots) are culled by the near test, but 1/tz must stay
     # finite so their zero cotangents don't turn into NaNs in the backward.
@@ -97,8 +98,8 @@ def compute_cov2d(
     m1 = j11[:, None] * R[1] + j12[:, None] * R[2]  # [N, 3]
 
     V = transforms.unpack_symmetric(cov3d_packed)  # [N, 3, 3]
-    Vm0 = jnp.einsum("nij,nj->ni", V, m0, precision=jax.lax.Precision.HIGHEST)
-    Vm1 = jnp.einsum("nij,nj->ni", V, m1, precision=jax.lax.Precision.HIGHEST)
+    Vm0 = jnp.einsum("nij,nj->ni", V, m0, precision=jax.lax.Precision.HIGH)
+    Vm1 = jnp.einsum("nij,nj->ni", V, m1, precision=jax.lax.Precision.HIGH)
     a = jnp.sum(m0 * Vm0, axis=-1) + 0.3
     b = jnp.sum(m0 * Vm1, axis=-1)
     c = jnp.sum(m1 * Vm1, axis=-1) + 0.3
@@ -156,11 +157,11 @@ def project(
     ones = jnp.ones((means3d.shape[0], 1), dtype=means3d.dtype)
     hom = jnp.concatenate([means3d, ones], axis=-1)
 
-    p_view = jnp.matmul(hom, camera.world_view.T, precision=jax.lax.Precision.HIGHEST)  # [N, 4]
+    p_view = jnp.matmul(hom, camera.world_view.T, precision=jax.lax.Precision.HIGH)  # [N, 4]
     depth = p_view[:, 2]
     in_front = depth > NEAR_CULL_Z
 
-    p_hom = jnp.matmul(hom, camera.full_proj.T, precision=jax.lax.Precision.HIGHEST)  # [N, 4]
+    p_hom = jnp.matmul(hom, camera.full_proj.T, precision=jax.lax.Precision.HIGH)  # [N, 4]
     p_w = 1.0 / (p_hom[:, 3] + 1e-7)
     p_proj = p_hom[:, :3] * p_w[:, None]
     mean2d = jnp.stack([ndc2pix(p_proj[:, 0], W), ndc2pix(p_proj[:, 1], H)], axis=-1)
