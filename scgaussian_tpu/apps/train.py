@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler device trace into this dir")
     p.add_argument("--no_tensorboard", action="store_true")
+    p.add_argument("--no_fg_split_log_quirk", action="store_true",
+                   help="disable the reference's log-domain fg split-scale "
+                        "division (grows scales); use the activated-domain shrink")
     p.add_argument("--detect_anomaly", action="store_true",
                    help="enable jax_debug_nans (the torch detect_anomaly analog)")
     return p
@@ -116,6 +119,7 @@ def main(argv=None):
         init_iterations=args.init_iterations,
         bg_capacity=args.bg_capacity,
         dtu_dark_threshold=(15.0 if "scan110" in args.source_path else 30.0) / 255.0,
+        fg_split_log_quirk=not args.no_fg_split_log_quirk,
     )
 
     scene = Scene(

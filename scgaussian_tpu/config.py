@@ -84,6 +84,11 @@ class TrainExtras:
     bg_capacity: int = 65536
     dtu_dark_threshold: float = 30.0 / 255.0  # train.py:152 (15/255 for scan110)
     dtu_shift_rows: int = 50  # train.py:156-157
+    # Reference quirk: on split, ray-Gaussian parents divide their LOG-domain
+    # scaling by 0.8*N (scene/gaussian_model.py:889-890), which GROWS typical
+    # negative-log scales. True replicates it; False applies the activated-
+    # domain shrink the bg children use.
+    fg_split_log_quirk: bool = True
 
 
 def save_config(path: str, **groups) -> None:

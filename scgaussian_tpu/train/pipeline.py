@@ -152,6 +152,7 @@ def run_main_stage(
                     cameras_extent,
                     size_threshold,
                     opt_cfg.percent_dense,
+                    fg_split_log_quirk=extras.fg_split_log_quirk,
                 )
             if iteration < opt_cfg.opacity_reset_until_iter and (
                 iteration % opt_cfg.opacity_reset_interval == 0

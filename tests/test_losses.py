@@ -1,6 +1,7 @@
 """Loss parity vs the reference torch implementations (imported as oracles)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import torch
 import torch.nn.functional as F
@@ -65,3 +66,31 @@ def test_grid_sample_matches_torch():
         .numpy()
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_ssim_convs_pin_highest_precision():
+    """TPU regression guard: the SSIM window convolutions MUST run at
+    HIGHEST precision. The default TPU conv precision is bf16, whose ~4e-3
+    multiply error exceeds the C2=9e-4 stabilizer — the E[x^2]-mu^2 variance
+    cancellation then yields SSIM > 1 on flat regions and corrupted
+    gradients (observed as full-protocol training divergence). CPU runs hide
+    this (fp32 convs regardless), so pin the precision in the jaxpr."""
+    img = jnp.zeros((3, 32, 32))
+    jaxpr = jax.make_jaxpr(losses.ssim)(img, img)
+    convs = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "conv_general_dilated"]
+    assert convs, "ssim no longer lowers to conv_general_dilated?"
+    for eqn in convs:
+        prec = eqn.params.get("precision")
+        assert prec is not None and "HIGHEST" in str(prec), (
+            f"SSIM conv precision degraded to {prec}; see losses/image.py"
+        )
+
+
+def test_ssim_flat_image_bounded():
+    """SSIM of a near-flat pair must stay <= 1 (+fp noise); with bf16 conv
+    precision it evaluates ~1.04 on TPU."""
+    key = jax.random.key(0)
+    a = jnp.full((3, 64, 96), 0.73) + 0.001 * jax.random.normal(key, (3, 64, 96))
+    b = a + 0.0005 * jax.random.normal(jax.random.key(1), a.shape)
+    val = float(jax.jit(losses.ssim)(a, b))
+    assert 0.9 < val <= 1.0 + 1e-5, val
