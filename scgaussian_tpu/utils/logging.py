@@ -59,3 +59,37 @@ class TrainLogger:
         self.jsonl.close()
         if self.tb is not None:
             self.tb.close()
+
+
+def safe_state(silent: bool = False, seed: int = 0):
+    """`safe_state` (`utils/general_utils.py:118-139`) redesigned for JAX:
+    wraps stdout so every completed line is stamped with "[dd/mm HH:MM:SS]"
+    (suppressed entirely when `silent`), seeds Python/NumPy RNGs, and returns
+    a `jax.random` key — the explicit-key analog of torch.manual_seed.
+    Device pinning is a no-op (XLA owns placement)."""
+    import random as _random
+    import sys
+    from datetime import datetime
+
+    import jax
+    import numpy as np
+
+    old_f = sys.stdout
+
+    class _Stamped:
+        def write(self, x):
+            if silent:
+                return
+            if x.endswith("\n"):
+                stamp = datetime.now().strftime("%d/%m %H:%M:%S")
+                old_f.write(x[:-1] + f" [{stamp}]\n")
+            else:
+                old_f.write(x)
+
+        def flush(self):
+            old_f.flush()
+
+    sys.stdout = _Stamped()
+    _random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.key(seed)

@@ -135,3 +135,25 @@ def test_llff_poses_bounds_and_spiral(tmp_path):
     # rotations orthonormal
     R = c.R
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_safe_state_stamps_and_seeds(capsys):
+    """safe_state analog (`utils/general_utils.py:118-139`): timestamps
+    complete lines, seeds numpy, returns a jax key; restore stdout after."""
+    import sys
+    import numpy as np
+
+    from scgaussian_tpu.utils.logging import safe_state
+
+    old = sys.stdout
+    try:
+        key = safe_state(silent=False, seed=0)
+        print("hello")
+        a = np.random.rand()
+    finally:
+        sys.stdout = old
+    captured = capsys.readouterr().out
+    assert "hello [" in captured and captured.rstrip().endswith("]")
+    np.random.seed(0)
+    assert np.random.rand() == a  # numpy got seeded
+    assert key is not None

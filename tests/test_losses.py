@@ -94,3 +94,94 @@ def test_ssim_flat_image_bounded():
     b = a + 0.0005 * jax.random.normal(jax.random.key(1), a.shape)
     val = float(jax.jit(losses.ssim)(a, b))
     assert 0.9 < val <= 1.0 + 1e-5, val
+
+
+# ---- auxiliary (reference-present but training-unused) losses ----------------
+
+
+def test_smooth_loss_matches_reference():
+    rng = np.random.default_rng(7)
+    depth = rng.uniform(size=(24, 31)).astype(np.float32)
+    guide3 = rng.uniform(size=(3, 24, 31)).astype(np.float32)
+    for guide in (None, guide3, guide3[0]):
+        ours = float(losses.get_smooth_loss(
+            jnp.asarray(depth), None if guide is None else jnp.asarray(guide)))
+        ref = float(ref_loss.get_smooth_loss(
+            torch.from_numpy(depth),
+            None if guide is None else torch.from_numpy(guide)))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_patchify_matches_unfold():
+    rng = np.random.default_rng(8)
+    # batch must be 1: the reference's own patchify crashes for B>1 (its
+    # .view on a permuted non-contiguous tensor raises RuntimeError)
+    x = rng.uniform(size=(1, 1, 16, 24)).astype(np.float32)
+    ours = np.asarray(losses.patchify(jnp.asarray(x), 8))
+    ref = ref_loss.patchify(torch.from_numpy(x), 8).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=0)
+
+
+def test_patch_norm_mse_loss_matches_reference():
+    rng = np.random.default_rng(9)
+    inp = rng.uniform(size=(1, 1, 32, 32)).astype(np.float32)
+    tgt = (inp + rng.normal(scale=0.3, size=inp.shape)).astype(np.float32)
+    fore = (rng.uniform(size=inp.shape) < 0.2).astype(np.float32)
+    ours = float(losses.patch_norm_mse_loss(
+        jnp.asarray(inp), jnp.asarray(tgt), jnp.asarray(fore), 8, margin=0.2))
+    ref = float(ref_loss.patch_norm_mse_loss(
+        torch.from_numpy(inp), torch.from_numpy(tgt), torch.from_numpy(fore),
+        8, margin=0.2))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_ranking_loss_matches_reference():
+    import random as pyrandom
+
+    rng = np.random.default_rng(10)
+    inp = rng.uniform(size=(1, 1, 32, 32)).astype(np.float32)
+    tgt = rng.uniform(size=(1, 1, 32, 32)).astype(np.float32)
+    # the reference draws its 6 pixel indices from Python's global RNG; seed
+    # it, replay the draw to learn the indices, then pass them explicitly
+    pyrandom.seed(3)
+    idx = pyrandom.sample(list(range(64)), 6)
+    pyrandom.seed(3)
+    ref = float(ref_loss.ranking_loss(
+        torch.from_numpy(inp), torch.from_numpy(tgt), 8))
+    ours = float(losses.ranking_loss(
+        jnp.asarray(inp), jnp.asarray(tgt), 8, sample_idx=jnp.asarray(idx)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_cons_loss_matches_reference():
+    rng = np.random.default_rng(11)
+    inp = rng.uniform(size=(1, 1, 16, 16)).astype(np.float32)
+    tgt = (rng.uniform(size=(1, 1, 16, 16)) * 0.02).astype(np.float32)
+    ours = float(losses.cons_loss(jnp.asarray(inp), jnp.asarray(tgt), 8))
+    ref = float(ref_loss.cons_loss(torch.from_numpy(inp), torch.from_numpy(tgt), 8))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_virtual_warp_loss_matches_reference():
+    rng = np.random.default_rng(12)
+    h, w, nv = 16, 20, 2
+    vimg = rng.uniform(size=(3, h, w)).astype(np.float32)
+    vdepth = rng.uniform(1.0, 2.0, size=(h, w)).astype(np.float32)
+    vc2w = np.eye(4, dtype=np.float32)[:3]
+    intr = np.eye(4, dtype=np.float32)
+    intr[0, 0] = intr[1, 1] = 20.0
+    intr[0, 2], intr[1, 2] = w / 2, h / 2
+    intrs = np.stack([intr] * nv)
+    w2cs = np.stack([np.eye(4, dtype=np.float32) for _ in range(nv)])
+    w2cs[1, 0, 3] = 0.1  # small x shift
+    colors = rng.uniform(size=(nv, 3, h, w)).astype(np.float32)
+    vmask = np.ones((1, h, w), dtype=bool)
+    ours = float(losses.get_virtual_warp_loss(
+        jnp.asarray(vimg), jnp.asarray(vdepth), jnp.asarray(vc2w),
+        jnp.asarray(intrs), jnp.asarray(w2cs), jnp.asarray(colors),
+        jnp.asarray(vmask)))
+    ref = float(ref_loss.get_virtual_warp_loss(
+        torch.from_numpy(vimg), torch.from_numpy(vdepth), vc2w,
+        torch.from_numpy(intrs), torch.from_numpy(w2cs),
+        torch.from_numpy(colors), torch.from_numpy(vmask)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
