@@ -583,7 +583,19 @@ def _flat_bwd_kernel(
     g_logT = gout_ref[0, :, 4:5]
     logT_fin = fout_ref[0, :, OUT_LOGT : OUT_LOGT + 1]  # [P, 1]
     last_pos = fout_ref[0, :, OUT_LASTP : OUT_LASTP + 1]  # [P, 1] 1-based
-    nchunks = jnp.where(cnt > 0, pl.cdiv(start + cnt - base, CHUNK), 0)
+    nchunks_all = jnp.where(cnt > 0, pl.cdiv(start + cnt - base, CHUNK), 0)
+    # Early-stop mirror of the forward: entries past every pixel's last
+    # contributor have inc == 0 and contribute nothing, so start the reverse
+    # walk at the chunk holding max(last_pos) instead of the segment end.
+    # Windows beyond it are never written — the zero-aliased dT output
+    # already holds their (zero) gradients, and the successor tile's
+    # head-window RMW reads those zeros unchanged. max_last == 0 (no
+    # contributors, e.g. a fully saturated-before tile) skips everything.
+    max_last = jnp.max(last_pos).astype(jnp.int32)
+    nchunks = jnp.minimum(
+        nchunks_all,
+        jnp.where(max_last > 0, pl.cdiv(start - base + max_last, CHUNK), 0),
+    )
 
     def in_dma(k, slot):
         return pltpu.make_async_copy(
