@@ -7,6 +7,8 @@ from scgaussian_tpu.eval.metrics import evaluate
 
 
 def main(argv=None):
+    from scgaussian_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = ArgumentParser(description="Metrics script parameters")
     parser.add_argument("--model_paths", "-m", required=True, nargs="+", type=str)
     parser.add_argument("--no_lpips", action="store_true")

@@ -89,6 +89,8 @@ def render_set(model_path, name, iteration, cameras, model, bg_color, backend="t
 
 
 def main(argv=None):
+    from scgaussian_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from scgaussian_tpu.data.scene import Scene
     from scgaussian_tpu.model import io as model_io
 

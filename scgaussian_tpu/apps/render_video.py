@@ -14,6 +14,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from scgaussian_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import cv2
     import jax.numpy as jnp
 

@@ -74,6 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     import jax
+    from scgaussian_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from scgaussian_tpu.config import OptimizationConfig, RasterizerConfig, TrainExtras

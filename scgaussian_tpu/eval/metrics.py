@@ -21,9 +21,17 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from scgaussian_tpu.losses import psnr as psnr_fn
-from scgaussian_tpu.losses import ssim as ssim_fn
+
+import jax
+
+from scgaussian_tpu.losses import ssim as _ssim_eager
 from scgaussian_tpu.eval import lpips_jax
+
+# jit is load-bearing here, not an optimization: eagerly, every one of the
+# ~30 SSIM primitives dispatches as its own device program (pathological on
+# remote-dispatch TPU backends); jitted it is one cached program per image
+# shape.
+ssim_fn = jax.jit(_ssim_eager)
 
 
 def _to_tensor(img: Image.Image) -> np.ndarray:
@@ -56,9 +64,11 @@ def compute_image_metrics(render: np.ndarray, gt: np.ndarray, mask_bin: np.ndarr
                           lpips_model=None) -> Dict[str, Optional[float]]:
     """Per-image metrics (`metrics.py:86-95`)."""
     o_ssim = float(ssim_fn(jnp.asarray(render), jnp.asarray(gt)))
-    sel_r = render[mask_bin][None]
-    sel_g = gt[mask_bin][None]
-    o_psnr = float(psnr_fn(jnp.asarray(sel_r), jnp.asarray(sel_g))[0, 0])
+    # PSNR over mask-selected pixels: the selection shape varies per image,
+    # so compute in numpy (exactly 20*log10(1/sqrt(mse)), image_utils.py:18)
+    # instead of re-jitting per shape.
+    diff = render[mask_bin] - gt[mask_bin]
+    o_psnr = float(20.0 * np.log10(1.0 / np.sqrt(np.mean(diff * diff))))
     o_lpips = None
     if lpips_model is not None:
         o_lpips = float(lpips_model(jnp.asarray(render)[None], jnp.asarray(gt)[None])[0])

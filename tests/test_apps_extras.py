@@ -5,6 +5,7 @@ import json
 import os
 import socket
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -98,10 +99,13 @@ def test_network_gui_protocol():
 
     t = threading.Thread(target=client)
     t.start()
-    for _ in range(100):
+    # non-blocking accept: poll with a real deadline — under a loaded
+    # machine the client thread may take a while to get scheduled
+    deadline = time.time() + 30.0
+    while gui.conn is None and time.time() < deadline:
         gui.try_connect()
-        if gui.conn is not None:
-            break
+        time.sleep(0.01)
+    assert gui.conn is not None, "viewer client never connected"
     cam, do_training, *_ = gui.receive()
     assert cam["width"] == 32 and do_training
     # y/z flip then transpose of identity stays sign-flipped identity
