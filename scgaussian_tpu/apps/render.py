@@ -43,10 +43,16 @@ def render_set(model_path, name, iteration, cameras, model, bg_color, backend="t
                save_color_pcd=False):
     import jax.numpy as jnp
 
+    import jax
+
     from scgaussian_tpu.data.ply import store_point_cloud
-    from scgaussian_tpu.losses import pixel_loss_map
+    from scgaussian_tpu.losses import pixel_loss_map as _pixel_loss_eager
     from scgaussian_tpu.renderer.project import sh_to_color
     from scgaussian_tpu.train.main_stage import render_model_jit as render_model
+
+    # jitted: eager per-primitive dispatch of the avgpool-SSIM error map is
+    # pathological on remote-dispatch TPU backends (see eval/metrics.py)
+    pixel_loss_map = jax.jit(_pixel_loss_eager)
 
     base = os.path.join(model_path, name, f"ours_{iteration}")
     dirs = {k: os.path.join(base, k) for k in ("renders", "gt", "depth", "error_map", "dtumask")}
