@@ -60,6 +60,19 @@ def main():
         return jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
 
     args = tuple(jnp.asarray(x) for x in (means, opac, scales, quats, shs))
+
+    # truncation audit: the timed workload must composite every emitted tile
+    # entry (CUDA's unbudgeted semantics) or the throughput number is fake
+    @jax.jit
+    def overflow_check(*a):
+        out = render(
+            cam, a[0], a[1], jnp.zeros(3), scales=a[2], rotations=a[3],
+            shs=a[4], active_sh_degree=3, backend="tpu",
+        )
+        return out.overflow
+
+    assert int(overflow_check(*args)) == 0, "bench scene overflows entry budget"
+
     out = fwdbwd(*args)
     jax.block_until_ready(out)
 

@@ -31,6 +31,8 @@ class RenderOutput:
     rendered_alpha: jnp.ndarray  # [1, H, W]
     radii: jnp.ndarray  # [N] int32
     visibility_filter: jnp.ndarray  # [N] bool (radii > 0)
+    overflow: jnp.ndarray  # [] int32: tile entries dropped over entry_budget
+    # (0 == exact CUDA unbudgeted semantics; the oracle backend never drops).
 
 
 def render(
@@ -72,10 +74,11 @@ def render(
         img, dep, alp = oracle_mod.composite_dense(
             proj, camera.width, camera.height, bg_color, tile=tile
         )
+        overflow = jnp.int32(0)
     elif backend == "tpu":
         from scgaussian_tpu.renderer import tile_raster
 
-        img, dep, alp = tile_raster.rasterize(
+        img, dep, alp, overflow = tile_raster.rasterize(
             proj,
             camera.width,
             camera.height,
@@ -94,4 +97,5 @@ def render(
         rendered_alpha=alp,
         radii=proj.radius,
         visibility_filter=proj.valid,
+        overflow=overflow,
     )

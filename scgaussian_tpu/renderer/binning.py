@@ -51,6 +51,18 @@ class TileBins:
     overflow: jnp.ndarray  # [] int32 — entries beyond the L budget
 
 
+def default_entry_budget(n: int) -> int:
+    """Default tile-entry budget for N primitives: next power of two >= 4N
+    (>= 16k). Power-of-two sizes keep the [L] sorts and cumsums on their
+    fastest path, and 4N covers typical 3DGS tile coverage (~3-5 tiles per
+    visible Gaussian). Training auto-regrows on overflow (the guard in
+    train/pipeline.py), so a tight default costs at most one recompile
+    instead of silently truncating — the reference CUDA pipeline sizes this
+    buffer exactly per frame and never truncates."""
+    want = max(4 * n, 1 << 14)
+    return 1 << (want - 1).bit_length()
+
+
 def bin_gaussians(
     proj: ProjectedGaussians,
     width: int,
@@ -104,8 +116,14 @@ def bin_gaussians(
     pr = per_rank[gi]  # [L, 5] single row gather
     j = e - pr[:, 4]
     cw = jnp.maximum(pr[:, 2], 1)
-    tx = pr[:, 0] + j % cw
-    ty = pr[:, 1] + j // cw
+    # j // cw via fp32: vector integer division has no TPU hardware path
+    # (lowered to a slow scalar/long-form sequence). (j + 0.5) / cw floors
+    # exactly for j < 2^23 and cw <= 4096: the true quotient sits at least
+    # 0.5/cw from either integer, far above fp32 division error.
+    q = jnp.floor((j.astype(jnp.float32) + 0.5) / cw.astype(jnp.float32)).astype(jnp.int32)
+    r = j - q * cw
+    tx = pr[:, 0] + r
+    ty = pr[:, 1] + q
     tile_e = jnp.where(valid_e, ty * nx + tx, num_tiles).astype(jnp.int32)
     orig_e = jnp.where(valid_e, pr[:, 3], n).astype(jnp.int32)
 

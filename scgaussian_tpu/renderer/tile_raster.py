@@ -47,9 +47,13 @@ ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 LOG_T_EPS = float(np.log(1e-4).astype(np.float32))
 
-# rows of the tile_data layout
-ROW_MX, ROW_MY, ROW_CA, ROW_CB, ROW_CC = 0, 1, 2, 3, 4
-ROW_R, ROW_G, ROW_B, ROW_D, ROW_OP = 5, 6, 7, 8, 9
+# rows of the tile_data layout. Opacity sits BEFORE the rgb+depth block so
+# that rows [ROW_R, ROW_R+8) = (r, g, b, d, 0, 0, 0, 0): the forward's
+# accumulator is then a single [P, 8] matmul target whose columns line up
+# with the output layout (cols 0-3 = premultiplied rgb+d, cols 4-7 zero
+# until logT/lastp are stored) — no lane-axis concatenation per tile.
+ROW_MX, ROW_MY, ROW_CA, ROW_CB, ROW_CC, ROW_OP = 0, 1, 2, 3, 4, 5
+ROW_R, ROW_G, ROW_B, ROW_D = 6, 7, 8, 9
 NUM_ROWS = 16  # 10 used + 6 pad; multiple of the f32 sublane tile (8) so
 # [NUM_ROWS, C] DMA slices of the flat attribute array stay layout-aligned
 
@@ -379,11 +383,11 @@ def attrs_matrix(proj) -> jnp.ndarray:
         proj.conic[:, 0],
         proj.conic[:, 1],
         proj.conic[:, 2],
+        proj.opacity,
         proj.color[:, 0],
         proj.color[:, 1],
         proj.color[:, 2],
         proj.depth,
-        proj.opacity,
     ]
     cols += [zeros] * (NUM_ROWS - len(cols))
     attrs = jnp.stack(cols, axis=1)
@@ -399,18 +403,20 @@ def rasterize(
     max_per_tile: int = 1024,
     entry_budget: int | None = None,
     flat: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full tile pipeline: bin (XLA) -> gather -> Pallas composite -> assemble.
 
-    Returns (color [3,H,W], depth [1,H,W], alpha [1,H,W]); gradients flow to
-    all differentiable projected attributes through the scatter-free custom
-    VJP of gather_composite.
+    Returns (color [3,H,W], depth [1,H,W], alpha [1,H,W], overflow [] int32);
+    overflow counts tile entries dropped because they exceeded entry_budget
+    (0 == exact CUDA unbudgeted semantics). Gradients flow to all
+    differentiable projected attributes through the scatter-free custom VJP
+    of gather_composite.
     """
-    from scgaussian_tpu.renderer.binning import bin_gaussians
+    from scgaussian_tpu.renderer.binning import bin_gaussians, default_entry_budget
 
     n = proj.depth.shape[0]
     if entry_budget is None:
-        entry_budget = max(8 * n, 1 << 14)
+        entry_budget = default_entry_budget(n)
     bins = bin_gaussians(proj, width, height, tile, entry_budget)
     nx = (width + tile - 1) // tile
     ny = (height + tile - 1) // tile
@@ -436,6 +442,7 @@ def rasterize(
         color_out.transpose(2, 0, 1),
         acc_d[None],
         (1.0 - T_fin)[None],
+        bins.overflow,
     )
 
 
@@ -461,40 +468,101 @@ def _flat_rows(buf, slot):
     return row
 
 
-def _flat_chunk_geometry(buf, slot, base, k, start, cnt, pixx, pixy):
+# The Gaussian falloff power = -0.5(ca dx^2 + cc dy^2) - cb dx dy is a
+# quadratic polynomial in the pixel coordinate, so the [P, C] evaluation is
+# ONE MXU matmul  power = PixBasis[P, 8] @ Coef[8, C]  instead of ~12 VPU
+# ops per pixel-splat pair; the backward's per-splat row sums
+# rowsum_p(d_power * poly(px, py)) likewise become ONE matmul
+# M = PixBasis^T @ d_power plus [1, C] chain rule. Coordinates are
+# TILE-LOCAL (px in [0, tile), mx - tile_origin) to bound the fp32
+# cancellation of the expansion; the residual noise (~1e-5 in power) is
+# guarded by POWER_EPS + clamping G = exp(min(power, 0)) so a splat's
+# center pixel (analytically power == 0 for any PD conic) can never be
+# dropped by rounding. CUDA evaluates dx directly (forward.cu renderCUDA);
+# semantics agree to ~1e-4 relative in alpha.
+POWER_EPS = 1e-4
+_NQ = 8  # quadratic basis rows [1, px, py, px^2, px*py, py^2, 0, 0]
+
+
+def _pix_basis(tilesize: int, P: int):
+    p = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    lx = (p % tilesize).astype(jnp.float32)
+    ly = (p // tilesize).astype(jnp.float32)
+    one = jnp.ones((P, 1), jnp.float32)
+    zero = jnp.zeros((P, 1), jnp.float32)
+    return jnp.concatenate(
+        [one, lx, ly, lx * lx, lx * ly, ly * ly, zero, zero], axis=1
+    )  # [P, _NQ]
+
+
+def _flat_chunk_geometry(buf, slot, base, k, start, cnt, bx, by, pixb):
     """Chunk windows are 128-ALIGNED (base = floor(start/C)*C), so the window
     can contain neighbor tiles' entries at both ends; the in-segment mask
-    keeps exactly [start, start+cnt)."""
+    keeps exactly [start, start+cnt). bx/by are the tile origin in pixels;
+    pixb is the per-tile quadratic pixel basis from _pix_basis."""
     row = _flat_rows(buf, slot)
-    mx, my = row(ROW_MX), row(ROW_MY)
+    mx = row(ROW_MX) - bx  # tile-local [1, C]
+    my = row(ROW_MY) - by
     ca, cb, cc = row(ROW_CA), row(ROW_CB), row(ROW_CC)
     op = row(ROW_OP)
-    dx = mx - pixx
-    dy = my - pixy
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    G = jnp.exp(power)
+    a1 = ca * mx + cb * my
+    a2 = cc * my + cb * mx
+    a0 = -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my
+    zero = jnp.zeros_like(a0)
+    coef = jnp.concatenate(
+        [a0, a1, a2, -0.5 * ca, -cb, -0.5 * cc, zero, zero], axis=0
+    )  # [_NQ, C]
+    power = jnp.dot(pixb, coef, preferred_element_type=jnp.float32)  # [P, C]
+    G = jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(ALPHA_MAX, op * G)
     g = base + k * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     in_seg = jnp.where((g >= start) & (g < start + cnt), 1.0, 0.0)
-    live = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), 1.0, 0.0) * in_seg
+    live = jnp.where((power <= POWER_EPS) & (alpha >= ALPHA_MIN), 1.0, 0.0) * in_seg
     alpha = alpha * live
-    attrs4 = buf[slot, ROW_R : ROW_D + 1, :] * in_seg  # [4, C] rgb+depth
-    return dx, dy, ca, cb, cc, op, G, alpha, live, attrs4
+    # [8, C]: (r, g, b, d, 0, 0, 0, 0) — the zero tail rows make this a
+    # direct matmul operand for the [P, 8] output accumulator
+    attrs8 = buf[slot, ROW_R : ROW_R + 8, :] * in_seg
+    return mx, my, ca, cb, cc, op, G, alpha, live, attrs8
+
+
+# Tiles composited per Pallas program (static unroll). The per-program grid
+# overhead (output-block DMA orchestration + Mosaic loop prologue) measures
+# ~0.7 us on v5e — 5.7 ms across a bare 8160-tile 1080p grid, ~40% of the
+# whole forward kernel — so amortizing it over GROUP tiles is the single
+# biggest kernel win. Entries of consecutive tiles are contiguous in the
+# sorted attribute stream, so grouping costs nothing in DMA locality.
+GROUP = 8
 
 
 def _flat_fwd_kernel(
     nx: int, tilesize: int,
     counts_ref, starts_ref, tids_ref,
-    tri_ref, attrsT_ref,
+    tri_ref, pixb_ref, attrsT_ref,
     out_ref,
     buf, sems,
 ):
     P = tilesize * tilesize
-    t = pl.program_id(0)
+    i = pl.program_id(0)
+    pixb = pixb_ref[:]
+    for g in range(GROUP):
+        _flat_fwd_tile(
+            nx, tilesize, P, i * GROUP + g, g,
+            counts_ref, starts_ref, tids_ref, tri_ref, attrsT_ref,
+            out_ref, buf, sems, pixb,
+        )
+
+
+def _flat_fwd_tile(
+    nx, tilesize, P, t, g,
+    counts_ref, starts_ref, tids_ref, tri_ref, attrsT_ref,
+    out_ref, buf, sems, pixb,
+):
     cnt = counts_ref[t]
     start = starts_ref[t]
     base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
-    pixx, pixy = _pix_coords(tids_ref[t], nx, tilesize, P)
+    tid = tids_ref[t]
+    bx = ((tid % nx) * tilesize).astype(jnp.float32)
+    by = ((tid // nx) * tilesize).astype(jnp.float32)
     nchunks = jnp.where(cnt > 0, pl.cdiv(start + cnt - base, CHUNK), 0)
 
     def in_dma(k, slot):
@@ -517,15 +585,17 @@ def _flat_fwd_kernel(
             in_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
 
         in_dma(k, slot).wait()
-        *_, alpha, live, attrs4 = _flat_chunk_geometry(buf, slot, base, k, start, cnt, pixx, pixy)
+        *_, alpha, live, attrs8 = _flat_chunk_geometry(buf, slot, base, k, start, cnt, bx, by, pixb)
         l = jnp.log1p(-alpha)
         S = jnp.dot(l, tri_ref[:], preferred_element_type=jnp.float32)
         logT_after = logT + S
         inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done)
         T_before = jnp.exp(logT_after - l)
         w = alpha * T_before * inc
+        # acc is the [P, 8] OUTPUT-layout accumulator: attrs8's zero tail
+        # rows keep cols 4-7 at zero until logT/lastp are stored below
         acc = acc + jax.lax.dot_general(
-            w, attrs4, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            w, attrs8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         logT = logT + jnp.sum(l * inc, axis=1, keepdims=True)
         done = jnp.maximum(
@@ -546,18 +616,18 @@ def _flat_fwd_kernel(
 
     logT0 = jnp.zeros((P, 1), jnp.float32)
     done0 = jnp.zeros((P, 1), jnp.float32)
-    acc0 = jnp.zeros((P, 4), jnp.float32)
+    acc0 = jnp.zeros((P, 8), jnp.float32)
     lastp0 = jnp.zeros((P, 1), jnp.float32)
     logT, _, acc, lastp = jax.lax.fori_loop(0, nchunks, body, (logT0, done0, acc0, lastp0))
-    out_ref[0] = jnp.concatenate(
-        [acc, logT, lastp, jnp.zeros((P, 2), jnp.float32)], axis=1
-    )
+    out_ref[g] = acc
+    out_ref[g, :, OUT_LOGT : OUT_LOGT + 1] = logT
+    out_ref[g, :, OUT_LASTP : OUT_LASTP + 1] = lastp
 
 
 def _flat_bwd_kernel(
     nx: int, tilesize: int,
     counts_ref, starts_ref, tids_ref,
-    tri_ref, attrsT_ref, gout_ref, fout_ref, dzero_ref,
+    tri_ref, pixb_ref, attrsT_ref, gout_ref, fout_ref, dzero_ref,
     dT_ref,
     buf, dbuf, accbuf, sems, wsems,
 ):
@@ -574,15 +644,35 @@ def _flat_bwd_kernel(
     under the sticky early-stop)."""
     del dzero_ref  # aliased to dT_ref; provides the zero initialization
     P = tilesize * tilesize
-    t = pl.program_id(0)
+    i = pl.program_id(0)
+    pixb = pixb_ref[:]
+    for g in range(GROUP):
+        _flat_bwd_tile(
+            nx, tilesize, P, i * GROUP + g, g,
+            counts_ref, starts_ref, tids_ref, tri_ref, attrsT_ref,
+            gout_ref, fout_ref, dT_ref, buf, dbuf, accbuf, sems, wsems, pixb,
+        )
+
+
+def _flat_bwd_tile(
+    nx, tilesize, P, t, gi,
+    counts_ref, starts_ref, tids_ref, tri_ref, attrsT_ref,
+    gout_ref, fout_ref, dT_ref, buf, dbuf, accbuf, sems, wsems, pixb,
+):
     cnt = counts_ref[t]
     start = starts_ref[t]
     base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
-    pixx, pixy = _pix_coords(tids_ref[t], nx, tilesize, P)
-    g_attrs = gout_ref[0, :, 0:4]
-    g_logT = gout_ref[0, :, 4:5]
-    logT_fin = fout_ref[0, :, OUT_LOGT : OUT_LOGT + 1]  # [P, 1]
-    last_pos = fout_ref[0, :, OUT_LASTP : OUT_LASTP + 1]  # [P, 1] 1-based
+    tid = tids_ref[t]
+    bx = ((tid % nx) * tilesize).astype(jnp.float32)
+    by = ((tid // nx) * tilesize).astype(jnp.float32)
+    # full [P, 8] cotangent block: cols 0-3 are the rgb+d cotangents, col 4
+    # is g_logT, cols 5-7 are zero (lastp is non-differentiable bookkeeping).
+    # attrs8's zero rows 4-7 annihilate cols 4+ inside the g_w matmul, so
+    # the whole block can be used unsliced.
+    g_attrs8 = gout_ref[gi]
+    g_logT = gout_ref[gi, :, 4:5]
+    logT_fin = fout_ref[gi, :, OUT_LOGT : OUT_LOGT + 1]  # [P, 1]
+    last_pos = fout_ref[gi, :, OUT_LASTP : OUT_LASTP + 1]  # [P, 1] 1-based
     nchunks_all = jnp.where(cnt > 0, pl.cdiv(start + cnt - base, CHUNK), 0)
     # Early-stop mirror of the forward: entries past every pixel's last
     # contributor have inc == 0 and contribute nothing, so start the reverse
@@ -618,8 +708,8 @@ def _flat_bwd_kernel(
             in_dma(k - 1, jax.lax.rem(r + 1, 2)).start()
 
         in_dma(k, slot).wait()
-        dx, dy, ca, cb, cc, op, G, alpha, live, attrs4 = _flat_chunk_geometry(
-            buf, slot, base, k, start, cnt, pixx, pixy
+        mx, my, ca, cb, cc, op, G, alpha, live, attrs8 = _flat_chunk_geometry(
+            buf, slot, base, k, start, cnt, bx, by, pixb
         )
         pos1 = (
             base + k * CHUNK
@@ -638,21 +728,37 @@ def _flat_bwd_kernel(
         logT_after = logT_fin - (suffixL + S_rev - l)
         T_before = jnp.exp(logT_after - l)
         w = alpha * T_before
-        g_w = jnp.dot(g_attrs, attrs4, preferred_element_type=jnp.float32)
+        # attrs8's zero tail rows annihilate g_attrs8 cols 4-7
+        g_w = jnp.dot(g_attrs8, attrs8, preferred_element_type=jnp.float32)
         gww = g_w * w
         A_rev = jax.lax.dot_general(
             gww, tri_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         A = suffixA + (A_rev - gww)  # strict suffix over j > i
         d_alpha = (g_w * T_before - (A + g_logT) / (1.0 - alpha)) * inc
-        d_op = G * d_alpha
         d_power = op * d_alpha * G
+        # [8, C]: rows 0-3 are the rgb+d grads (land on dbuf rows
+        # ROW_R..ROW_D); row 4 picks up sum_p g_logT*w which lands on dT pad
+        # rows >= R_USED and is stripped by the routing slice
         d_attrs = jax.lax.dot_general(
-            g_attrs, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [4, C]
-
-        def rowsum(x):
-            return jnp.sum(x, axis=0, keepdims=True)
+            g_attrs8, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # Per-splat row sums over pixels as ONE matmul in the quadratic
+        # pixel basis: M[b, c] = sum_p pixb[p, b] * d_power[p, c], then the
+        # chain rule back to (mx, my, ca, cb, cc, op) is [1, C] work.
+        M = jax.lax.dot_general(
+            pixb, d_power, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [_NQ, C]
+        S0, Sx, Sy = M[0:1], M[1:2], M[2:3]
+        Sxx, Sxy, Syy = M[3:4], M[4:5], M[5:6]
+        # rowsum(d_power * dx^k dy^m) with dx = mx - px (tile-local)
+        r_dxdx = mx * mx * S0 - 2.0 * mx * Sx + Sxx
+        r_dydy = my * my * S0 - 2.0 * my * Sy + Syy
+        r_dxdy = mx * my * S0 - mx * Sy - my * Sx + Sxy
+        r_dx = mx * S0 - Sx
+        r_dy = my * S0 - Sy
+        # rowsum(d_op) = rowsum(G * d_alpha) = rowsum(d_power) / op
+        d_op_row = jnp.where(op > 0.0, S0 / op, 0.0)
 
         # Windows are floor-aligned, so only the k == 0 window can hold a
         # predecessor tile's gradients (read-modify-write just that one);
@@ -670,14 +776,16 @@ def _flat_bwd_kernel(
         def _():
             wr_dma(nchunks - 1 - (r - 2), slot2).wait()  # slot reuse guard
 
-        dbuf[ROW_MX : ROW_MX + 1, :] = rowsum(d_power * (-(ca * dx + cb * dy)))
-        dbuf[ROW_MY : ROW_MY + 1, :] = rowsum(d_power * (-(cc * dy + cb * dx)))
-        dbuf[ROW_CA : ROW_CA + 1, :] = rowsum(d_power * (-0.5 * dx * dx))
-        dbuf[ROW_CB : ROW_CB + 1, :] = rowsum(d_power * (-dx * dy))
-        dbuf[ROW_CC : ROW_CC + 1, :] = rowsum(d_power * (-0.5 * dy * dy))
-        dbuf[ROW_R : ROW_D + 1, :] = d_attrs
-        dbuf[ROW_OP : ROW_OP + 1, :] = rowsum(d_op)
-        dbuf[ROW_OP + 1 :, :] = jnp.zeros((NUM_ROWS - ROW_OP - 1, CHUNK), jnp.float32)
+        # rows 0-5 geometry grads, rows 6-13 the d_attrs block (rows 10-13
+        # are pad — stripped by the routing's [:R_USED] slice, as are the
+        # never-written rows 14-15)
+        dbuf[ROW_MX : ROW_MX + 1, :] = -(ca * r_dx + cb * r_dy)
+        dbuf[ROW_MY : ROW_MY + 1, :] = -(cc * r_dy + cb * r_dx)
+        dbuf[ROW_CA : ROW_CA + 1, :] = -0.5 * r_dxdx
+        dbuf[ROW_CB : ROW_CB + 1, :] = -r_dxdy
+        dbuf[ROW_CC : ROW_CC + 1, :] = -0.5 * r_dydy
+        dbuf[ROW_OP : ROW_OP + 1, :] = d_op_row
+        dbuf[ROW_R : ROW_R + 8, :] = d_attrs
 
         @pl.when(k == 0)
         def _():
@@ -717,43 +825,67 @@ def _flat_bwd_kernel(
     _drain(nchunks - 1)
 
 
+def _pad_tiles(counts, starts, tile_ids):
+    """Pad the tile axis to a GROUP multiple with empty tiles (cnt=0)."""
+    T = counts.shape[0]
+    pad = (-T) % GROUP
+    if pad == 0:
+        return counts, starts, tile_ids, T
+    z = jnp.zeros((pad,), jnp.int32)
+    return (
+        jnp.concatenate([counts, z]),
+        jnp.concatenate([starts, z]),
+        jnp.concatenate([tile_ids, z]),
+        T + pad,
+    )
+
+
 def _flat_fwd_impl(attrsT, counts, starts, tile_ids, nx, ny, tilesize):
     R, Lpad = attrsT.shape
     T = counts.shape[0]
     P = tilesize * tilesize
+    counts, starts, tile_ids, T_pad = _pad_tiles(counts, starts, tile_ids)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(T,),
+        grid=(T_pad // GROUP,),
         in_specs=[
             pl.BlockSpec((CHUNK, CHUNK), lambda i, c, s, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, _NQ), lambda i, c, s, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((GROUP, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_ROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_flat_fwd_kernel, nx, tilesize),
-        out_shape=jax.ShapeDtypeStruct((T, P, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_pad, P, 8), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(counts, starts, tile_ids, _tri_matrix(), attrsT)
+    )(counts, starts, tile_ids, _tri_matrix(), _pix_basis(tilesize, P), attrsT)
+    return out[:T]
 
 
 def _flat_bwd_impl(attrsT, counts, starts, tile_ids, gout, fout, nx, ny, tilesize):
     R, Lpad = attrsT.shape
     T = counts.shape[0]
     P = tilesize * tilesize
+    counts, starts, tile_ids, T_pad = _pad_tiles(counts, starts, tile_ids)
+    if T_pad != T:
+        zpad = jnp.zeros((T_pad - T, P, 8), jnp.float32)
+        gout = jnp.concatenate([gout, zpad])
+        fout = jnp.concatenate([fout, zpad])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(T,),
+        grid=(T_pad // GROUP,),
         in_specs=[
             pl.BlockSpec((CHUNK, CHUNK), lambda i, c, s, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, _NQ), lambda i, c, s, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -772,8 +904,8 @@ def _flat_bwd_impl(attrsT, counts, starts, tile_ids, gout, fout, nx, ny, tilesiz
         grid_spec=grid_spec,
         interpret=_use_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        input_output_aliases={7: 0},
-    )(counts, starts, tile_ids, _tri_matrix(), attrsT, gout, fout, dzero)
+        input_output_aliases={8: 0},
+    )(counts, starts, tile_ids, _tri_matrix(), _pix_basis(tilesize, P), attrsT, gout, fout, dzero)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -800,10 +932,11 @@ def _flat_gather_fwd(attrs, bins, starts_slice, counts_slice, tile_ids, nx, ny, 
 def _flat_gather_bwd(nx, ny, tilesize, res, gout):
     attrsT, bins, starts_slice, counts_slice, tile_ids, n_attr, fout = res
     L = bins.orig_idx_sorted.shape[0]
+    R_USED = ROW_D + 1  # rows 10..NUM_ROWS-1 never carry gradients
     dT = _flat_bwd_impl(
         attrsT, counts_slice, starts_slice, tile_ids, gout, fout, nx, ny, tilesize
     )
-    d_sorted = dT[:, :L].T  # [L, R]
+    d_sorted = dT[:R_USED, :L].T  # [L, R_USED]
     # guard the never-written sentinel region against uninitialized memory
     e = jnp.arange(L, dtype=jnp.int32)
     d_sorted = d_sorted * (e < bins.total_entries)[:, None]
@@ -819,6 +952,13 @@ def _flat_gather_bwd(nx, ny, tilesize, res, gout):
     )
     sums_rank = jnp.where((bins.seg_counts > 0)[:, None], end_vals - start_prev, 0.0)
     d_attrs = sums_rank[bins.inv_order]
+    d_attrs = jnp.concatenate(
+        [
+            d_attrs,
+            jnp.zeros((d_attrs.shape[0], NUM_ROWS - R_USED), d_attrs.dtype),
+        ],
+        axis=1,
+    )
     d_attrs = jnp.concatenate(
         [d_attrs, jnp.zeros((n_attr - d_attrs.shape[0], NUM_ROWS), d_attrs.dtype)],
         axis=0,

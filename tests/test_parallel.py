@@ -109,16 +109,38 @@ def test_tile_sharded_render_matches_single(setup):
         shs=model.get_features(),
         active_sh_degree=3,
     )
-    img1, d1, a1 = tr.rasterize(proj, cam.width, cam.height, jnp.zeros(3),
-                                max_per_tile=256, entry_budget=8192)
+    img1, d1, a1, _ = tr.rasterize(proj, cam.width, cam.height, jnp.zeros(3),
+                                   entry_budget=8192)
     mesh = dp.make_mesh(8, axis="tiles")
-    img2, d2, a2 = tile_shard.rasterize_tile_sharded(
-        mesh, proj, cam.width, cam.height, jnp.zeros(3),
-        max_per_tile=256, entry_budget=8192,
+    img2, d2, a2, _ = tile_shard.rasterize_tile_sharded(
+        mesh, proj, cam.width, cam.height, jnp.zeros(3), entry_budget=8192,
     )
     np.testing.assert_allclose(np.asarray(img2), np.asarray(img1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-6)
+
+    # gradients: tile-sharded render is differentiable (flat kernels + custom
+    # VJP under shard_map) and matches the single-device gradients
+    import dataclasses as _dc
+
+    def loss_sharded(mean2d):
+        p = _dc.replace(proj, mean2d=mean2d)
+        img, d, a, _ = tile_shard.rasterize_tile_sharded(
+            mesh, p, cam.width, cam.height, jnp.zeros(3), entry_budget=8192
+        )
+        return jnp.sum(img**2) + jnp.sum(d**2)
+
+    def loss_single(mean2d):
+        p = _dc.replace(proj, mean2d=mean2d)
+        img, d, a, _ = tr.rasterize(
+            p, cam.width, cam.height, jnp.zeros(3), entry_budget=8192
+        )
+        return jnp.sum(img**2) + jnp.sum(d**2)
+
+    g2 = jax.grad(loss_sharded)(proj.mean2d)
+    g1 = jax.grad(loss_single)(proj.mean2d)
+    scale = np.abs(np.asarray(g1)).max() + 1e-8
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-5 * scale)
 
 
 def test_primitive_tile_2d_mesh_render(setup):
@@ -146,7 +168,7 @@ def test_primitive_tile_2d_mesh_render(setup):
     )
 
     proj = pm.project(cam, means, opac, scales=scl, rotations=rot, shs=shs, active_sh_degree=3)
-    img1, d1, a1 = tr.rasterize(proj, cam.width, cam.height, jnp.zeros(3), entry_budget=8192)
+    img1, d1, a1, _ = tr.rasterize(proj, cam.width, cam.height, jnp.zeros(3), entry_budget=8192)
     np.testing.assert_allclose(np.asarray(img2), np.asarray(img1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-6)
 
@@ -161,7 +183,7 @@ def test_primitive_tile_2d_mesh_render(setup):
 
     def loss1(means, opac):
         p = pm.project(cam, means, opac, scales=scl, rotations=rot, shs=shs, active_sh_degree=3)
-        img, d, a = tr.rasterize(p, cam.width, cam.height, jnp.zeros(3), entry_budget=8192)
+        img, d, a, _ = tr.rasterize(p, cam.width, cam.height, jnp.zeros(3), entry_budget=8192)
         return jnp.sum(img**2)
 
     g1_means, g1_opac = jax.grad(loss1, argnums=(0, 1))(means, opac)
