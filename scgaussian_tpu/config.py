@@ -67,7 +67,11 @@ class RasterizerConfig:
 
     tile: int = 16
     max_per_tile: int = 1024
-    entry_budget: Optional[int] = None  # None => 8 * N
+    # None => renderer.binning.default_entry_budget(N) (pow2 >= 4N); the
+    # training pipeline's capacity guard doubles this (one recompile) if a
+    # step ever reports truncated entries, so rendering is never silently
+    # truncated (reference semantics are unbudgeted).
+    entry_budget: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +93,11 @@ class TrainExtras:
     # negative-log scales. True replicates it; False applies the activated-
     # domain shrink the bg children use.
     fg_split_log_quirk: bool = True
+    # Capacity guards (no reference analog — the reference grows tensors
+    # unboundedly, `scene/gaussian_model.py:777-842`; here growth is an
+    # explicit recompile). True: auto-double entry budget / bg capacity when
+    # a step reports truncation or dropped densify candidates. False: raise.
+    guard_auto_grow: bool = True
 
 
 def save_config(path: str, **groups) -> None:

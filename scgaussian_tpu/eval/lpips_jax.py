@@ -49,6 +49,29 @@ _ALEX_CFG = [
 ]
 _ALEX_TAPS = [0, 1, 2, 3, 4]
 
+# SqueezeNet 1.1 features (reference `lpipsPyTorch/modules/networks.py:66-73`:
+# squeezenet1_1 with target layers [2,5,8,10,11,12,13] 1-based == the outputs
+# of relu0, fire2, fire4, fire5, fire6, fire7, fire8). Fire(s, e1, e3) =
+# squeeze 1x1 conv -> relu -> [expand 1x1 + expand 3x3(pad 1), both relu'd,
+# channel-concatenated]. Maxpools are k3 s2 ceil_mode like torchvision.
+_SQUEEZE_CFG = [
+    ("conv", 64, 3, 2, 0),
+    "M",
+    ("fire", 16, 64, 64),
+    ("fire", 16, 64, 64),
+    "M",
+    ("fire", 32, 128, 128),
+    ("fire", 32, 128, 128),
+    "M",
+    ("fire", 48, 192, 192),
+    ("fire", 48, 192, 192),
+    ("fire", 64, 256, 256),
+    ("fire", 64, 256, 256),
+]
+# taps as (kind, index): output of conv0's relu + fires 2,4,5,6,7,8 (1-based)
+_SQUEEZE_TAPS = [("conv", 0), ("fire", 1), ("fire", 3), ("fire", 4),
+                 ("fire", 5), ("fire", 6), ("fire", 7)]
+
 
 def _conv2d(x, w, b, stride=1, padding=0):
     out = jax.lax.conv_general_dilated(
@@ -65,6 +88,27 @@ def _conv2d(x, w, b, stride=1, padding=0):
 def _maxpool(x):
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+    )
+
+
+def _maxpool3(x):
+    """torch MaxPool2d(kernel_size=3, stride=2) (alexnet, floor mode)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2), "VALID"
+    )
+
+
+def _maxpool3_ceil(x):
+    """torch MaxPool2d(kernel_size=3, stride=2, ceil_mode=True) (squeezenet)."""
+    h, w = x.shape[2], x.shape[3]
+
+    def pad_for(n):
+        out = -(-(n - 3) // 2) + 1  # ceil((n-3)/2) + 1
+        return max((out - 1) * 2 + 3 - n, 0)
+
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
+        [(0, 0), (0, 0), (0, pad_for(h)), (0, pad_for(w))],
     )
 
 
@@ -88,7 +132,7 @@ def _alex_features(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> List[jnp.n
     ci = 0
     for item in _ALEX_CFG:
         if item == "M":
-            x = _maxpool(x)
+            x = _maxpool3(x)
         else:
             _, k, s, p = item
             x = _conv2d(x, params[f"conv{ci}_w"], params[f"conv{ci}_b"], stride=s, padding=p)
@@ -96,6 +140,33 @@ def _alex_features(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> List[jnp.n
             if ci in _ALEX_TAPS:
                 feats.append(x)
             ci += 1
+    return feats
+
+
+def _fire(params: Dict[str, jnp.ndarray], i: int, x: jnp.ndarray) -> jnp.ndarray:
+    s = jax.nn.relu(_conv2d(x, params[f"fire{i}_squeeze_w"], params[f"fire{i}_squeeze_b"]))
+    e1 = jax.nn.relu(_conv2d(s, params[f"fire{i}_e1_w"], params[f"fire{i}_e1_b"]))
+    e3 = jax.nn.relu(_conv2d(s, params[f"fire{i}_e3_w"], params[f"fire{i}_e3_b"], padding=1))
+    return jnp.concatenate([e1, e3], axis=1)
+
+
+def _squeeze_features(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> List[jnp.ndarray]:
+    taps = set(_SQUEEZE_TAPS)
+    feats = []
+    fi = 0
+    for item in _SQUEEZE_CFG:
+        if item == "M":
+            x = _maxpool3_ceil(x)
+        elif item[0] == "conv":
+            _, c, k, s, p = item
+            x = jax.nn.relu(_conv2d(x, params["conv0_w"], params["conv0_b"], stride=s, padding=p))
+            if ("conv", 0) in taps:
+                feats.append(x)
+        else:
+            x = _fire(params, fi, x)
+            if ("fire", fi) in taps:
+                feats.append(x)
+            fi += 1
     return feats
 
 
@@ -127,7 +198,11 @@ class LPIPS:
         scale = jnp.asarray(_SCALE)[None, :, None, None]
         xn = (x - shift) / scale
         yn = (y - shift) / scale
-        feat_fn = _vgg_features if self.net == "vgg" else _alex_features
+        feat_fn = {
+            "vgg": _vgg_features,
+            "alex": _alex_features,
+            "squeeze": _squeeze_features,
+        }[self.net]
         fx = feat_fn(self.params, xn)
         fy = feat_fn(self.params, yn)
         total = 0.0
@@ -154,24 +229,42 @@ def convert_torch_weights(out_path: str, net: str = "vgg") -> None:
 
     if net == "vgg":
         tv = torchvision.models.vgg16(weights="IMAGENET1K_V1").features
-        taps_channels = [64, 128, 256, 512, 512]
-    else:
+        n_taps = 5
+    elif net == "alex":
         tv = torchvision.models.alexnet(weights="IMAGENET1K_V1").features
-        taps_channels = [64, 192, 384, 256, 256]
+        n_taps = 5
+    else:
+        tv = torchvision.models.squeezenet1_1(weights="IMAGENET1K_V1").features
+        n_taps = 7
 
     params = {}
-    ci = 0
-    for layer in tv:
-        if isinstance(layer, torch.nn.Conv2d):
-            params[f"conv{ci}_w"] = layer.weight.detach().numpy()
-            params[f"conv{ci}_b"] = layer.bias.detach().numpy()
-            ci += 1
+    if net == "squeeze":
+        fi = 0
+        for layer in tv:
+            if isinstance(layer, torch.nn.Conv2d):
+                params["conv0_w"] = layer.weight.detach().numpy()
+                params["conv0_b"] = layer.bias.detach().numpy()
+            elif hasattr(layer, "squeeze"):  # Fire module
+                for attr, key in (
+                    ("squeeze", "squeeze"), ("expand1x1", "e1"), ("expand3x3", "e3"),
+                ):
+                    conv = getattr(layer, attr)
+                    params[f"fire{fi}_{key}_w"] = conv.weight.detach().numpy()
+                    params[f"fire{fi}_{key}_b"] = conv.bias.detach().numpy()
+                fi += 1
+    else:
+        ci = 0
+        for layer in tv:
+            if isinstance(layer, torch.nn.Conv2d):
+                params[f"conv{ci}_w"] = layer.weight.detach().numpy()
+                params[f"conv{ci}_b"] = layer.bias.detach().numpy()
+                ci += 1
 
     url = (
         "https://raw.githubusercontent.com/richzhang/PerceptualSimilarity/"
         f"master/lpips/weights/v0.1/{net}.pth"
     )
     lin = torch.hub.load_state_dict_from_url(url, progress=False, map_location="cpu")
-    for i in range(5):
+    for i in range(n_taps):
         params[f"lin{i}_w"] = lin[f"lin{i}.model.1.weight"].numpy()
     np.savez(out_path, **params)

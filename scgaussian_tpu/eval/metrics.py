@@ -124,6 +124,16 @@ def evaluate(model_paths: List[str], use_lpips: bool = True) -> Dict:
                 # (`metrics.py:107`); the true AVG lives in per_view.json
                 "AVG": means["LPIPS"] if means["LPIPS"] is not None else means["AVG"],
             }
+            if means["LPIPS"] is None:
+                # explicit schema marker: without LPIPS weights the AVG
+                # geo-mean is over (PSNR, SSIM) terms only — flag it rather
+                # than silently redefining the metric
+                full_dict[scene_dir][method]["AVG_definition"] = (
+                    "geomean(10^(-PSNR/10), sqrt(1-SSIM)) — LPIPS term "
+                    "omitted (weights unavailable)"
+                )
+                print("  [metrics] WARNING: AVG computed WITHOUT the LPIPS "
+                      "term (weights unavailable)")
             per_view_dict[scene_dir][method] = {
                 k: {n: pi[k] for pi, n in zip(per_image, names)}
                 for k in ("SSIM", "PSNR", "LPIPS", "AVG")

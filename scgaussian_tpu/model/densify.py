@@ -221,6 +221,62 @@ def densify_and_prune(
     return model, opt_state, dropped
 
 
+def grow_bg_capacity(
+    model: GaussianModel, opt_state: optim.AdamState, new_capacity: int
+) -> Tuple[GaussianModel, optim.AdamState]:
+    """Grow the background slot pool to `new_capacity` (a rare, explicit
+    recompile event — the fixed-capacity analog of the reference's unbounded
+    tensor growth, `scene/gaussian_model.py:777-842`). New slots are dead
+    (alive=False, opacity logit -10) with zero Adam moments; densification
+    stats gain zero rows. Called by the training pipeline's capacity guard
+    when `densify_and_prune` reports dropped candidates."""
+    cb = model.bg_capacity
+    if new_capacity <= cb:
+        return model, opt_state
+    add = new_capacity - cb
+    p = model.params
+
+    def pad(x, fill=0.0):
+        pad_block = jnp.full((add,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, pad_block], axis=0)
+
+    rot_pad = jnp.zeros((add, 4), p.bg_rotation.dtype).at[:, 0].set(1.0)
+    params = dataclasses.replace(
+        p,
+        bg_xyz=pad(p.bg_xyz),
+        bg_f_dc=pad(p.bg_f_dc),
+        bg_f_rest=pad(p.bg_f_rest),
+        bg_scaling=pad(p.bg_scaling, -10.0),
+        bg_rotation=jnp.concatenate([p.bg_rotation, rot_pad], axis=0),
+        bg_opacity=pad(p.bg_opacity, -10.0),
+    )
+
+    def pad_state(tree):
+        return dataclasses.replace(
+            tree,
+            **{
+                name: pad(getattr(tree, name))
+                for name in (
+                    "bg_xyz", "bg_f_dc", "bg_f_rest",
+                    "bg_scaling", "bg_rotation", "bg_opacity",
+                )
+            },
+        )
+
+    opt_state = optim.AdamState(
+        m=pad_state(opt_state.m), v=pad_state(opt_state.v), count=opt_state.count
+    )
+    model = dataclasses.replace(
+        model,
+        params=params,
+        bg_alive=pad(model.bg_alive),
+        xyz_gradient_accum=pad(model.xyz_gradient_accum),
+        denom=pad(model.denom),
+        max_radii2d=pad(model.max_radii2d),
+    )
+    return model, opt_state
+
+
 @jax.jit
 def reset_opacity(
     model: GaussianModel, opt_state: optim.AdamState

