@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "division (grows scales); use the activated-domain shrink")
     p.add_argument("--detect_anomaly", action="store_true",
                    help="enable jax_debug_nans (the torch detect_anomaly analog)")
+    # network viewer (reference `train.py:283-284` --ip/--port; the reference
+    # ships with network_gui.init commented out at train.py:302, here the
+    # listener starts whenever a port is given)
+    p.add_argument("--ip", type=str, default="127.0.0.1")
+    p.add_argument("--port", "--viewer_port", dest="viewer_port", type=int,
+                   default=-1,
+                   help="SIBR remote-viewer port; -1 disables the listener")
     return p
 
 
@@ -200,6 +207,15 @@ def main(argv=None):
     raster = RasterizerConfig()
 
     logger = TrainLogger(args.model_path, use_tensorboard=not args.no_tensorboard)
+
+    # live SIBR viewer (polled every iteration, `train.py:109-122`)
+    gui = None
+    if args.viewer_port >= 0:
+        from scgaussian_tpu.viewer.network_gui import NetworkGUI
+
+        gui = NetworkGUI(host=args.ip, port=args.viewer_port)
+        print(f"Viewer listening on {args.ip}:{args.viewer_port}")
+
     cam0 = scene.train_cameras[0]
     timer = StepTimer(pixels_per_step=cam0.width * cam0.height)
     t_start = time.time()
@@ -230,6 +246,11 @@ def main(argv=None):
 
     def callback(iteration, model, metrics, opt_state=None):
         dt = timer.stop()
+        if gui is not None:
+            gui.poll(
+                model, os.path.abspath(args.source_path), iteration,
+                opt_cfg.iterations, backend=args.backend, raster=raster,
+            )
         ema["loss"] = 0.4 * float(metrics.loss) + 0.6 * ema["loss"]
         logger.step(iteration, float(metrics.l1), float(metrics.loss), dt)
         if iteration % 100 == 0 or iteration == 1:
@@ -299,6 +320,8 @@ def main(argv=None):
         state.opt_state,
         args.iterations,
     )
+    if gui is not None:
+        gui.close()
     logger.close()
     print("\nTraining complete.")
     return state

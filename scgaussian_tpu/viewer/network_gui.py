@@ -87,8 +87,48 @@ class NetworkGUI:
             self.conn.close()
         self.listener.close()
 
+    def poll(
+        self,
+        model,
+        source_path: str,
+        iteration: int,
+        max_iterations: int,
+        backend: str = "tpu",
+        raster=None,
+    ) -> None:
+        """Per-training-iteration viewer poll — mirrors `train.py:109-122`:
+        accept a pending connection, then serve render requests until the
+        viewer either releases training (`do_training` with the budget not
+        exhausted) or disconnects. Any socket/protocol error drops the
+        connection (reference behavior) and training continues."""
+        if self.conn is None:
+            self.try_connect()
+        while self.conn is not None:
+            try:
+                image_bytes = None
+                cam_dict, do_training, _shs_py, _cov_py, keep_alive, scaling = (
+                    self.receive()
+                )
+                if cam_dict is not None:
+                    image_bytes = render_for_viewer(
+                        cam_dict, model, backend=backend,
+                        scaling_modifier=float(scaling), raster=raster,
+                    )
+                self.send(image_bytes, source_path)
+                if do_training and (iteration < max_iterations or not keep_alive):
+                    break
+            except Exception:
+                if self.conn is not None:
+                    try:
+                        self.conn.close()
+                    except Exception:
+                        pass
+                self.conn = None
 
-def render_for_viewer(cam_dict, model, backend="tpu") -> bytes:
+
+def render_for_viewer(
+    cam_dict, model, backend="tpu", scaling_modifier: float = 1.0, raster=None
+) -> bytes:
     """Render for the viewer: returns H*W*3 uint8 bytes (train.py:116-117)."""
     import jax.numpy as jnp
 
@@ -109,6 +149,10 @@ def render_for_viewer(cam_dict, model, backend="tpu") -> bytes:
         znear=jnp.float32(cam_dict["znear"]),
         zfar=jnp.float32(cam_dict["zfar"]),
     )
-    out = render_model(cam, model, jnp.zeros(3), backend=backend)
+    kwargs = {} if raster is None else {"raster": raster}
+    out = render_model(
+        cam, model, jnp.zeros(3), backend=backend,
+        scaling_modifier=scaling_modifier, **kwargs,
+    )
     img = np.asarray(jnp.clip(out.render, 0, 1) * 255).astype(np.uint8)
     return memoryview(np.ascontiguousarray(img.transpose(1, 2, 0))).tobytes()

@@ -207,3 +207,70 @@ def test_async_checkpointer(tmp_path):
 
     for a, b in zip(jax.tree_util.tree_leaves(model), jax.tree_util.tree_leaves(m2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_viewer_polled_during_training(scene_dir, tmp_path):
+    """Live-viewer integration (reference `train.py:109-122`): a SIBR-style
+    client connects to the --port listener, requests frames during training
+    iterations, and receives rendered RGB bytes + the verify string."""
+    import json as _json
+    import socket
+    import threading
+
+    from scgaussian_tpu.apps import train as train_app
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    frames = []
+
+    def client():
+        import time
+
+        deadline = time.time() + 120.0
+        conn = None
+        while conn is None and time.time() < deadline:
+            try:
+                conn = socket.create_connection(("127.0.0.1", port), timeout=1.0)
+            except OSError:
+                time.sleep(0.05)
+        assert conn is not None, "never connected to training viewer"
+        msg = {
+            "resolution_x": 32, "resolution_y": 24,
+            "train": True, "keep_alive": False,
+            "fov_y": 0.7, "fov_x": 0.9, "z_near": 0.01, "z_far": 100.0,
+            "shs_python": False, "rot_scale_python": False,
+            "scaling_modifier": 1.0,
+            "view_matrix": list(np.eye(4).flatten().astype(float)),
+            "view_projection_matrix": list(np.eye(4).flatten().astype(float)),
+        }
+        payload = _json.dumps(msg).encode()
+        for _ in range(3):  # three frames over consecutive iterations
+            conn.sendall(len(payload).to_bytes(4, "little") + payload)
+            img = conn.recv(32 * 24 * 3, socket.MSG_WAITALL)
+            n = int.from_bytes(conn.recv(4, socket.MSG_WAITALL), "little")
+            verify = conn.recv(n, socket.MSG_WAITALL).decode()
+            frames.append((len(img), verify))
+        conn.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    model_dir = str(tmp_path / "model_viewer")
+    train_app.main(
+        [
+            "-s", scene_dir, "-m", model_dir, "-r", "1",
+            "--iterations", "30", "--init_iterations", "60",
+            "--densify_from_iter", "1000", "--opacity_reset_interval", "1000",
+            "--bg_capacity", "256", "--backend", "oracle",
+            "--test_iterations", "-1", "--save_iterations", "-1",
+            "--no_tensorboard", "--port", str(port),
+        ]
+    )
+    t.join(timeout=60)
+    assert not t.is_alive(), "viewer client hung"
+    assert len(frames) == 3
+    for img_len, verify in frames:
+        assert img_len == 32 * 24 * 3
+        assert verify == os.path.abspath(scene_dir)
