@@ -96,7 +96,7 @@ def render_sharded(
         t_local = T_pad // n_tile_dev
         lo = t_idx * t_local
         starts_l = jax.lax.dynamic_slice_in_dim(
-            jnp.concatenate([bins.starts[:T], jnp.full((T_pad - T,), bins.starts[T], jnp.int32)]),
+            jnp.concatenate([bins.aligned_starts[:T], jnp.full((T_pad - T,), bins.aligned_starts[T], jnp.int32)]),
             lo, t_local,
         )
         counts_l = jax.lax.dynamic_slice_in_dim(

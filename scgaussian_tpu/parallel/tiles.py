@@ -63,7 +63,7 @@ def rasterize_tile_sharded(
 
     pad = T_pad - T
     starts_p = jnp.concatenate(
-        [bins.starts[:T], jnp.full((pad,), bins.starts[T], jnp.int32)]
+        [bins.aligned_starts[:T], jnp.full((pad,), bins.aligned_starts[T], jnp.int32)]
     )
     counts_p = jnp.concatenate([bins.counts, jnp.zeros((pad,), jnp.int32)])
     tile_ids_p = jnp.arange(T_pad, dtype=jnp.int32)

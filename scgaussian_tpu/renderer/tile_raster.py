@@ -424,14 +424,19 @@ def rasterize(
     attrs = attrs_matrix(proj)
 
     if flat:
-        T_full = nx * ny
-        out = flat_gather_composite(
-            attrs, bins, bins.starts[:T_full], bins.counts,
-            jnp.arange(T_full, dtype=jnp.int32), nx, ny, tile,
-        )  # [T, P, 8]
-    else:
-        out = gather_composite(attrs, bins, nx, ny, tile, max_per_tile)
+        out8 = stream_gather_composite(attrs, bins, nx, ny, tile)  # [T, 8, P]
+        img8 = (
+            out8.reshape(ny, nx, 8, tile, tile)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(8, ny * tile, nx * tile)[:, :height, :width]
+        )  # channels-first directly — no final transpose
+        acc_rgb = img8[OUT_R : OUT_B + 1]  # [3, H, W]
+        acc_d = img8[OUT_D]
+        T_fin = jnp.exp(img8[OUT_LOGT])
+        color_out = acc_rgb + T_fin[None] * bg_color[:, None, None]
+        return color_out, acc_d[None], (1.0 - T_fin)[None], bins.overflow
 
+    out = gather_composite(attrs, bins, nx, ny, tile, max_per_tile)
     img = out.reshape(ny, nx, tile, tile, 8).transpose(0, 2, 1, 3, 4)
     img = img.reshape(ny * tile, nx * tile, 8)[:height, :width]
     acc_rgb = img[..., OUT_R : OUT_B + 1]  # [H, W, 3]
@@ -448,14 +453,14 @@ def rasterize(
 
 # --------------------------------------------------------------------------
 # v2 "flat" kernels: per-tile entry ranges are DMA'd straight from the
-# tile-sorted [NUM_ROWS, L] attribute array in HBM — no padded [T, K]
-# tile_data is ever materialized. This removes the dominant cost at dense
-# resolutions (the [T*K]-row gather + its memory traffic: 400 MB at 1080p
-# with K=1024 vs ~10 MB of flat entries) AND the per-tile K cap, restoring
-# exact CUDA semantics for arbitrarily deep tiles. Input chunks are double-
-# buffered; the backward writes gradient chunks back to disjoint HBM ranges
-# (grid steps run sequentially per core, so a tile's ceil-to-chunk overhang
-# into its successor's range is overwritten in order).
+# SEGMENT-ALIGNED [NUM_ROWS, L_pad] attribute array in HBM (binning step 5)
+# — no padded [T, K] tile_data is ever materialized. This removes the
+# dominant cost at dense resolutions (the [T*K]-row gather + its memory
+# traffic: 400 MB at 1080p with K=1024 vs ~60 MB of aligned entries) AND
+# the per-tile K cap, restoring exact CUDA semantics for arbitrarily deep
+# tiles. Every CHUNK window belongs to exactly one tile, so the kernels
+# carry no in-segment masks and the backward's gradient windows are plain
+# exclusive double-buffered writes. Input chunks are double-buffered.
 # --------------------------------------------------------------------------
 
 
@@ -495,11 +500,12 @@ def _pix_basis(tilesize: int, P: int):
     )  # [P, _NQ]
 
 
-def _flat_chunk_geometry(buf, slot, base, k, start, cnt, bx, by, pixb):
-    """Chunk windows are 128-ALIGNED (base = floor(start/C)*C), so the window
-    can contain neighbor tiles' entries at both ends; the in-segment mask
-    keeps exactly [start, start+cnt). bx/by are the tile origin in pixels;
-    pixb is the per-tile quadratic pixel basis from _pix_basis."""
+def _flat_chunk_geometry(buf, slot, bx, by, pixb):
+    """Chunk windows are SEGMENT-ALIGNED (each belongs to exactly one tile;
+    binning.aligned_starts) so no in-segment masking is needed: pad slots
+    gather the zero sentinel attribute row whose opacity 0 fails the
+    ALPHA_MIN test. bx/by are the tile origin in pixels; pixb is the
+    quadratic pixel basis from _pix_basis."""
     row = _flat_rows(buf, slot)
     mx = row(ROW_MX) - bx  # tile-local [1, C]
     my = row(ROW_MY) - by
@@ -515,13 +521,11 @@ def _flat_chunk_geometry(buf, slot, base, k, start, cnt, bx, by, pixb):
     power = jnp.dot(pixb, coef, preferred_element_type=jnp.float32)  # [P, C]
     G = jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(ALPHA_MAX, op * G)
-    g = base + k * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    in_seg = jnp.where((g >= start) & (g < start + cnt), 1.0, 0.0)
-    live = jnp.where((power <= POWER_EPS) & (alpha >= ALPHA_MIN), 1.0, 0.0) * in_seg
+    live = jnp.where((power <= POWER_EPS) & (alpha >= ALPHA_MIN), 1.0, 0.0)
     alpha = alpha * live
     # [8, C]: (r, g, b, d, 0, 0, 0, 0) — the zero tail rows make this a
     # direct matmul operand for the [P, 8] output accumulator
-    attrs8 = buf[slot, ROW_R : ROW_R + 8, :] * in_seg
+    attrs8 = buf[slot, ROW_R : ROW_R + 8, :]
     return mx, my, ca, cb, cc, op, G, alpha, live, attrs8
 
 
@@ -558,16 +562,17 @@ def _flat_fwd_tile(
     out_ref, buf, sems, pixb,
 ):
     cnt = counts_ref[t]
-    start = starts_ref[t]
-    base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    # segment-aligned layout: the tile's windows [start, start + cnt_pad)
+    # are CHUNK-multiples and exclusively owned (binning.aligned_starts)
+    start = pl.multiple_of(starts_ref[t], CHUNK)
     tid = tids_ref[t]
     bx = ((tid % nx) * tilesize).astype(jnp.float32)
     by = ((tid // nx) * tilesize).astype(jnp.float32)
-    nchunks = jnp.where(cnt > 0, pl.cdiv(start + cnt - base, CHUNK), 0)
+    nchunks = pl.cdiv(cnt, CHUNK)
 
     def in_dma(k, slot):
         return pltpu.make_async_copy(
-            attrsT_ref.at[:, pl.ds(base + k * CHUNK, CHUNK)],
+            attrsT_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
             buf.at[slot],
             sems.at[slot],
         )
@@ -585,7 +590,7 @@ def _flat_fwd_tile(
             in_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
 
         in_dma(k, slot).wait()
-        *_, alpha, live, attrs8 = _flat_chunk_geometry(buf, slot, base, k, start, cnt, bx, by, pixb)
+        *_, alpha, live, attrs8 = _flat_chunk_geometry(buf, slot, bx, by, pixb)
         l = jnp.log1p(-alpha)
         S = jnp.dot(l, tri_ref[:], preferred_element_type=jnp.float32)
         logT_after = logT + S
@@ -604,9 +609,7 @@ def _flat_fwd_tile(
         # per-pixel 1-based position (within the tile segment) of the last
         # contributing splat — consumed by the single-pass reverse backward
         pos1 = (
-            base + k * CHUNK
-            + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            - start + 1
+            k * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + 1
         ).astype(jnp.float32)
         lastp = jnp.maximum(
             lastp,
@@ -660,8 +663,8 @@ def _flat_bwd_tile(
     gout_ref, fout_ref, dT_ref, buf, dbuf, accbuf, sems, wsems, pixb,
 ):
     cnt = counts_ref[t]
-    start = starts_ref[t]
-    base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    # segment-aligned: windows [start, start + cnt_pad) exclusively owned
+    start = pl.multiple_of(starts_ref[t], CHUNK)
     tid = tids_ref[t]
     bx = ((tid % nx) * tilesize).astype(jnp.float32)
     by = ((tid // nx) * tilesize).astype(jnp.float32)
@@ -673,23 +676,18 @@ def _flat_bwd_tile(
     g_logT = gout_ref[gi, :, 4:5]
     logT_fin = fout_ref[gi, :, OUT_LOGT : OUT_LOGT + 1]  # [P, 1]
     last_pos = fout_ref[gi, :, OUT_LASTP : OUT_LASTP + 1]  # [P, 1] 1-based
-    nchunks_all = jnp.where(cnt > 0, pl.cdiv(start + cnt - base, CHUNK), 0)
     # Early-stop mirror of the forward: entries past every pixel's last
     # contributor have inc == 0 and contribute nothing, so start the reverse
     # walk at the chunk holding max(last_pos) instead of the segment end.
     # Windows beyond it are never written — the zero-aliased dT output
-    # already holds their (zero) gradients, and the successor tile's
-    # head-window RMW reads those zeros unchanged. max_last == 0 (no
-    # contributors, e.g. a fully saturated-before tile) skips everything.
+    # already holds their (zero) gradients. max_last == 0 (no contributors,
+    # e.g. a fully saturated-before tile) skips everything.
     max_last = jnp.max(last_pos).astype(jnp.int32)
-    nchunks = jnp.minimum(
-        nchunks_all,
-        jnp.where(max_last > 0, pl.cdiv(start - base + max_last, CHUNK), 0),
-    )
+    nchunks = jnp.minimum(pl.cdiv(cnt, CHUNK), pl.cdiv(max_last, CHUNK))
 
     def in_dma(k, slot):
         return pltpu.make_async_copy(
-            attrsT_ref.at[:, pl.ds(base + k * CHUNK, CHUNK)],
+            attrsT_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
             buf.at[slot],
             sems.at[slot],
         )
@@ -709,12 +707,10 @@ def _flat_bwd_tile(
 
         in_dma(k, slot).wait()
         mx, my, ca, cb, cc, op, G, alpha, live, attrs8 = _flat_chunk_geometry(
-            buf, slot, base, k, start, cnt, bx, by, pixb
+            buf, slot, bx, by, pixb
         )
         pos1 = (
-            base + k * CHUNK
-            + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            - start + 1
+            k * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + 1
         ).astype(jnp.float32)
         inc = live * jnp.where(pos1 <= last_pos, 1.0, 0.0)  # [P, C]
         alpha = alpha * inc
@@ -760,16 +756,13 @@ def _flat_bwd_tile(
         # rowsum(d_op) = rowsum(G * d_alpha) = rowsum(d_power) / op
         d_op_row = jnp.where(op > 0.0, S0 / op, 0.0)
 
-        # Windows are floor-aligned, so only the k == 0 window can hold a
-        # predecessor tile's gradients (read-modify-write just that one);
-        # other windows are exclusive double-buffered writes. k == 0 is the
-        # LAST reverse iteration, so all hazards stay within this grid step
-        # plus the drained predecessor.
+        # Segment-aligned windows are exclusively owned, so every gradient
+        # window is a plain double-buffered write — no read-modify-write.
         slot2 = jax.lax.rem(r, 2)
 
         def wr_dma(kk, ss):
             return pltpu.make_async_copy(
-                accbuf.at[ss], dT_ref.at[:, pl.ds(base + kk * CHUNK, CHUNK)], wsems.at[ss]
+                accbuf.at[ss], dT_ref.at[:, pl.ds(start + kk * CHUNK, CHUNK)], wsems.at[ss]
             )
 
         @pl.when(r >= 2)
@@ -787,19 +780,7 @@ def _flat_bwd_tile(
         dbuf[ROW_OP : ROW_OP + 1, :] = d_op_row
         dbuf[ROW_R : ROW_R + 8, :] = d_attrs
 
-        @pl.when(k == 0)
-        def _():
-            rd = pltpu.make_async_copy(
-                dT_ref.at[:, pl.ds(base, CHUNK)], accbuf.at[slot2], wsems.at[slot2]
-            )
-            rd.start()
-            rd.wait()
-            accbuf[slot2, :, :] = accbuf[slot2, :, :] + dbuf[:, :]
-
-        @pl.when(k > 0)
-        def _():
-            accbuf[slot2, :, :] = dbuf[:, :]
-
+        accbuf[slot2, :, :] = dbuf[:, :]
         wr_dma(k, slot2).start()
 
         suffixL = suffixL + jnp.sum(l, axis=1, keepdims=True)
@@ -817,7 +798,7 @@ def _flat_bwd_tile(
             kk = nchunks - 1 - rr
             pltpu.make_async_copy(
                 accbuf.at[jax.lax.rem(rr, 2)],
-                dT_ref.at[:, pl.ds(base + kk * CHUNK, CHUNK)],
+                dT_ref.at[:, pl.ds(start + kk * CHUNK, CHUNK)],
                 wsems.at[jax.lax.rem(rr, 2)],
             ).wait()
 
@@ -918,11 +899,17 @@ def flat_gather_composite(attrs, bins, starts_slice, counts_slice, tile_ids, nx,
 
 
 def _flat_gather_fwd(attrs, bins, starts_slice, counts_slice, tile_ids, nx, ny, tilesize):
-    L = bins.orig_idx_sorted.shape[0]
-    sorted_attrs = attrs[bins.orig_idx_sorted]  # [L, R] single row gather
-    attrsT = jnp.concatenate(
-        [sorted_attrs.T, jnp.zeros((NUM_ROWS, CHUNK), attrs.dtype)], axis=1
-    )  # [R, L + CHUNK] overhang pad
+    # segment-aligned layout: ONE [L_pad]-row gather puts every tile's
+    # entries at CHUNK-aligned exclusive slots (pad slots hit the zero
+    # sentinel row of attrs); starts_slice must be bins.aligned_starts.
+    #
+    # optimization_barrier: XLA fuses gathers with adjacent transposes /
+    # producer chains into serialized scalar-load loops (measured 4.6 ms for
+    # this line fused vs 0.06 ms split); the barriers force the gather and
+    # the transpose to run as separate, vectorized ops.
+    aligned_attrs = attrs[jax.lax.optimization_barrier(bins.orig_idx_aligned)]
+    aligned_attrs = jax.lax.optimization_barrier(aligned_attrs)
+    attrsT = aligned_attrs.T  # [R, L_pad]
     out = _flat_fwd_impl(
         attrsT, counts_slice, starts_slice, tile_ids, nx, ny, tilesize
     )
@@ -936,13 +923,16 @@ def _flat_gather_bwd(nx, ny, tilesize, res, gout):
     dT = _flat_bwd_impl(
         attrsT, counts_slice, starts_slice, tile_ids, gout, fout, nx, ny, tilesize
     )
-    d_sorted = dT[:R_USED, :L].T  # [L, R_USED]
-    # guard the never-written sentinel region against uninitialized memory
+    # barriers: keep the transpose, the row gathers, and the cumsum as
+    # separate vectorized ops (fused gather+transpose serializes; see
+    # _flat_gather_fwd)
+    d_aligned = jax.lax.optimization_barrier(dT[:R_USED].T)  # [L_pad, R_USED]
+    # rows for real entries, in gaussian-major (presort) order; pad slots
+    # are never referenced and dead presort slots are masked below
+    d_presort = d_aligned[bins.aligned_pos_of_presort]
     e = jnp.arange(L, dtype=jnp.int32)
-    d_sorted = d_sorted * (e < bins.total_entries)[:, None]
-
-    d_presort = d_sorted[bins.sorted_pos_of_presort]
-    csum = jnp.cumsum(d_presort, axis=0)
+    d_presort = d_presort * (e < bins.total_entries)[:, None]
+    csum = jax.lax.optimization_barrier(jnp.cumsum(d_presort, axis=0))
     seg_end = jnp.clip(bins.seg_offsets + bins.seg_counts - 1, 0, L - 1)
     end_vals = csum[seg_end]
     start_prev = jnp.where(
@@ -951,7 +941,7 @@ def _flat_gather_bwd(nx, ny, tilesize, res, gout):
         0.0,
     )
     sums_rank = jnp.where((bins.seg_counts > 0)[:, None], end_vals - start_prev, 0.0)
-    d_attrs = sums_rank[bins.inv_order]
+    d_attrs = jax.lax.optimization_barrier(sums_rank)[bins.inv_order]
     d_attrs = jnp.concatenate(
         [
             d_attrs,
@@ -972,3 +962,393 @@ def _flat_gather_bwd(nx, ny, tilesize, res, gout):
 
 
 flat_gather_composite.defvjp(_flat_gather_fwd, _flat_gather_bwd)
+
+
+# --------------------------------------------------------------------------
+# v3 "stream" kernels: the grid walks the SEGMENT-ALIGNED entry stream in
+# fixed blocks of CPB chunks, with ALL I/O on BlockSpec auto-pipelining —
+# no manual input DMA at all. This removes the v2 kernels' dominant cost:
+# with ~50 entries per tile at 1080p, the per-tile manual chunk DMAs are
+# cold latency stalls (~1.5 us x 8160 tiles ~ the whole 12 ms forward);
+# the stream grid instead prefetches 16-chunk blocks ahead of compute.
+#
+# Work layout is fully TRANSPOSED vs v2: entries on SUBLANES, pixels on
+# LANES ([C=128, P=256]). Per-pixel compositing state (logT, done, acc,
+# lastp) is then naturally [1, P] / [8, P] rows, carried across chunks and
+# grid steps in VMEM scratch (the sequential TPU grid makes this legal),
+# and the per-chunk output block [CPB, 8, P] has no lane padding. Per-tile
+# boundaries come from binning's per-chunk metadata (tile_of_chunk,
+# k_of_chunk): state resets at k_of_chunk == 0 and every chunk writes the
+# running state to its out slot, so a tile's final state is simply the slot
+# of its LAST chunk (gathered afterwards in XLA — an [T]-row gather of
+# cheap 8 KB rows).
+#
+# The alpha computation avoids every [C, 1] broadcast the transposed
+# layout would otherwise need: alpha = op * exp(min(power, 0)) is
+# evaluated as exp(powop - relu(power)) where powop = power + log(op) comes
+# from a SECOND quadratic-basis matmul whose constant row is a0 + log(op)
+# — log of the per-entry opacity row is 128 transcendentals per chunk
+# (vs 32k per-cell), and the zero sentinel row yields log(0) = -inf =>
+# alpha = 0, which keeps pad slots self-excluding. The within-chunk prefix
+# sum of log(1-alpha) is the same triangular MXU matmul as v1/v2, contracted
+# on the ENTRY (sublane) axis.
+#
+# The backward walks the stream in REVERSE (grid index maps run the blocks
+# back-to-front) with the same single-pass suffix-sum formulation as v2;
+# gout/fout arrive CHUNK-GATHERED ([nbc, 8, P], one XLA row-gather) so they
+# ride the same auto-pipeline, and the gradient stream dT is born
+# [L_pad, NUM_ROWS] (entries on sublanes) — exactly the layout the routing
+# gather wants, killing the [NUM_ROWS, L_pad] -> [L_pad, R] transpose.
+# --------------------------------------------------------------------------
+
+CPB = 16  # chunks per stream block (one grid step)
+
+
+def _stream_chunk_alpha(ablk_ref, sl, bx, by, pixb, tri_ref):
+    """Transposed-layout ([C, P]) alpha/live for one chunk; returns
+    per-entry rows ([1, C]) alongside for reuse by the callers."""
+    mx = ablk_ref[ROW_MX : ROW_MX + 1, sl] - bx  # [1, C] tile-local
+    my = ablk_ref[ROW_MY : ROW_MY + 1, sl] - by
+    ca = ablk_ref[ROW_CA : ROW_CA + 1, sl]
+    cb = ablk_ref[ROW_CB : ROW_CB + 1, sl]
+    cc = ablk_ref[ROW_CC : ROW_CC + 1, sl]
+    op = ablk_ref[ROW_OP : ROW_OP + 1, sl]
+    a1 = ca * mx + cb * my
+    a2 = cc * my + cb * mx
+    a0 = -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my
+    logop = jnp.log(op)  # -inf on the zero sentinel row => alpha == 0
+    zero = jnp.zeros_like(a0)
+    coef = jnp.concatenate(
+        [a0, a1, a2, -0.5 * ca, -cb, -0.5 * cc, zero, zero], axis=0
+    )  # [_NQ, C]
+    coefb = jnp.concatenate(
+        [a0 + logop, a1, a2, -0.5 * ca, -cb, -0.5 * cc, zero, zero], axis=0
+    )
+    # power[c, p] = pixb[p] . coef[:, c]  — entries on sublanes
+    power = jax.lax.dot_general(
+        coef, pixb, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [C, P]
+    powop = jax.lax.dot_general(
+        coefb, pixb, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    alpha_pre = jnp.exp(powop - jnp.maximum(power, 0.0))  # == op * exp(min(power, 0))
+    alpha = jnp.minimum(ALPHA_MAX, alpha_pre)
+    live = jnp.where((power <= POWER_EPS) & (alpha >= ALPHA_MIN), 1.0, 0.0)
+    alpha = alpha * live
+    return alpha, alpha_pre, live, power
+
+
+def _stream_fwd_kernel(
+    nx: int, tilesize: int, T_total: int,
+    tile_c_ref, k_c_ref,
+    tri_ref, pixb_ref, ablk_ref,
+    out_ref,
+    st_acc, st_logT, st_done, st_lastp,
+):
+    P = tilesize * tilesize
+    i = pl.program_id(0)
+    pixb = pixb_ref[:]  # [P, _NQ]
+    for j in range(CPB):
+        c = i * CPB + j
+        t = tile_c_ref[c]
+        k_in = k_c_ref[c]
+
+        @pl.when(k_in == 0)
+        def _():
+            st_acc[:, :] = jnp.zeros((8, P), jnp.float32)
+            st_logT[:, :] = jnp.zeros((1, P), jnp.float32)
+            st_done[:, :] = jnp.zeros((1, P), jnp.float32)
+            st_lastp[:, :] = jnp.zeros((1, P), jnp.float32)
+
+        # skip sentinel chunks and fully early-stopped tiles (sticky `done`
+        # covers every pixel) — the state, and therefore the out slot, is
+        # already final
+        @pl.when((t < T_total) & (jnp.min(st_done[:, :]) < 0.5))
+        def _():
+            sl = pl.ds(j * CHUNK, CHUNK)
+            bx = ((t % nx) * tilesize).astype(jnp.float32)
+            by = ((t // nx) * tilesize).astype(jnp.float32)
+            alpha, _, _, _ = _stream_chunk_alpha(ablk_ref, sl, bx, by, pixb, tri_ref)
+            l = jnp.log1p(-alpha)  # [C, P]
+            # inclusive prefix over entries (sublanes): S[c] = sum_{c'<=c} l[c']
+            S = jax.lax.dot_general(
+                tri_ref[:], l, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logT = st_logT[:, :]  # [1, P]
+            done = st_done[:, :]
+            logT_after = logT + S
+            inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done)
+            T_before = jnp.exp(logT_after - l)
+            w = alpha * T_before * inc  # [C, P]
+            attrs8 = ablk_ref[ROW_R : ROW_R + 8, sl]  # [8, C]
+            st_acc[:, :] = st_acc[:, :] + jax.lax.dot_general(
+                attrs8, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            st_logT[:, :] = logT + jnp.sum(l * inc, axis=0, keepdims=True)
+            st_done[:, :] = jnp.maximum(
+                done, jnp.where(logT_after[CHUNK - 1 : CHUNK, :] < LOG_T_EPS, 1.0, 0.0)
+            )
+            pos1 = (
+                k_in * CHUNK
+                + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + 1
+            ).astype(jnp.float32)  # [C, 1]
+            st_lastp[:, :] = jnp.maximum(
+                st_lastp[:, :],
+                jnp.max(pos1 * jnp.where(alpha > 0.0, inc, 0.0), axis=0, keepdims=True),
+            )
+
+        out_ref[j, 0:8, :] = st_acc[:, :]
+        out_ref[j, OUT_LOGT : OUT_LOGT + 1, :] = st_logT[:, :]
+        out_ref[j, OUT_LASTP : OUT_LASTP + 1, :] = st_lastp[:, :]
+
+
+def _stream_bwd_kernel(
+    nx: int, tilesize: int, T_total: int, grid: int,
+    tile_c_ref, k_c_ref,
+    tri_ref, pixb_ref, ablk_ref, gblk_ref, fblk_ref,
+    dblk_ref,
+    st_sL, st_sA,
+):
+    P = tilesize * tilesize
+    i = pl.program_id(0)  # step; the block is grid-1-i (reverse walk)
+    pixb = pixb_ref[:]
+    for j in reversed(range(CPB)):
+        c = (grid - 1 - i) * CPB + j
+        t = tile_c_ref[c]
+        k_in = k_c_ref[c]
+
+        # entering a tile (reverse order): its LAST chunk
+        @pl.when(tile_c_ref[c + 1] != t)
+        def _():
+            st_sL[:, :] = jnp.zeros((1, P), jnp.float32)
+            st_sA[:, :] = jnp.zeros((1, P), jnp.float32)
+
+        last_pos = fblk_ref[j, OUT_LASTP : OUT_LASTP + 1, :]  # [1, P]
+        max_last = jnp.max(last_pos)
+        dsl = pl.ds(j * CHUNK, CHUNK)
+        # chunks with every entry past the last contributor carry zero grads
+        active = (t < T_total) & ((k_in * CHUNK).astype(jnp.float32) < max_last)
+
+        @pl.when(active)
+        def _():
+            sl = pl.ds(j * CHUNK, CHUNK)
+            bx = ((t % nx) * tilesize).astype(jnp.float32)
+            by = ((t // nx) * tilesize).astype(jnp.float32)
+            alpha, alpha_pre, live, power = _stream_chunk_alpha(
+                ablk_ref, sl, bx, by, pixb, tri_ref
+            )
+            logT_fin = fblk_ref[j, OUT_LOGT : OUT_LOGT + 1, :]  # [1, P]
+            g8 = gblk_ref[j]  # [8, P]
+            g_logT = gblk_ref[j, OUT_LOGT : OUT_LOGT + 1, :]
+            pos1 = (
+                k_in * CHUNK
+                + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + 1
+            ).astype(jnp.float32)
+            inc = live * jnp.where(pos1 <= last_pos, 1.0, 0.0)  # [C, P]
+            alpha = alpha * inc
+            l = jnp.log1p(-alpha)
+            # suffix-inclusive over entries: S_rev[c] = sum_{c'>=c} l[c']
+            S_rev = jax.lax.dot_general(
+                tri_ref[:], l, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logT_after = logT_fin - (st_sL[:, :] + S_rev - l)
+            T_before = jnp.exp(logT_after - l)
+            w = alpha * T_before
+            attrs8 = ablk_ref[ROW_R : ROW_R + 8, sl]  # [8, C]
+            g_w = jax.lax.dot_general(
+                attrs8, g8, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [C, P]
+            gww = g_w * w
+            A_rev = jax.lax.dot_general(
+                tri_ref[:], gww, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            A = st_sA[:, :] + (A_rev - gww)  # strict suffix over j > i
+            d_alpha = (g_w * T_before - (A + g_logT) / (1.0 - alpha)) * inc
+            # CUDA convention: the 0.99 cap is ignored in the backward;
+            # op * G == alpha_pre (uncapped)
+            d_power = d_alpha * alpha_pre
+            # d_attrs, transposed into the dT column layout directly
+            d_attrsT = jax.lax.dot_general(
+                w, g8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [C, 8]
+            # per-entry pixel sums via the quadratic basis: M[c, b] =
+            # sum_p d_power[c, p] * pixb[p, b]
+            M = jax.lax.dot_general(
+                d_power, pixb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [C, _NQ]
+            S0, Sx, Sy = M[:, 0:1], M[:, 1:2], M[:, 2:3]
+            Sxx, Sxy, Syy = M[:, 3:4], M[:, 4:5], M[:, 5:6]
+            # per-entry attribute rows as [C, 1] columns: one small transpose
+            geoT = jnp.swapaxes(ablk_ref[0:8, sl], 0, 1)  # [C, 8]
+            mxc = geoT[:, ROW_MX : ROW_MX + 1] - bx
+            myc = geoT[:, ROW_MY : ROW_MY + 1] - by
+            cac = geoT[:, ROW_CA : ROW_CA + 1]
+            cbc = geoT[:, ROW_CB : ROW_CB + 1]
+            ccc = geoT[:, ROW_CC : ROW_CC + 1]
+            opc = geoT[:, ROW_OP : ROW_OP + 1]
+            r_dx = mxc * S0 - Sx
+            r_dy = myc * S0 - Sy
+            r_dxdx = mxc * mxc * S0 - 2.0 * mxc * Sx + Sxx
+            r_dydy = myc * myc * S0 - 2.0 * myc * Sy + Syy
+            r_dxdy = mxc * myc * S0 - mxc * Sy - myc * Sx + Sxy
+            d_op_col = jnp.where(opc > 0.0, S0 / opc, 0.0)
+
+            dblk_ref[dsl, ROW_MX : ROW_MX + 1] = -(cac * r_dx + cbc * r_dy)
+            dblk_ref[dsl, ROW_MY : ROW_MY + 1] = -(ccc * r_dy + cbc * r_dx)
+            dblk_ref[dsl, ROW_CA : ROW_CA + 1] = -0.5 * r_dxdx
+            dblk_ref[dsl, ROW_CB : ROW_CB + 1] = -r_dxdy
+            dblk_ref[dsl, ROW_CC : ROW_CC + 1] = -0.5 * r_dydy
+            dblk_ref[dsl, ROW_OP : ROW_OP + 1] = d_op_col
+            dblk_ref[dsl, ROW_R : ROW_R + 8] = d_attrsT
+            dblk_ref[dsl, ROW_R + 8 : NUM_ROWS] = jnp.zeros(
+                (CHUNK, NUM_ROWS - ROW_R - 8), jnp.float32
+            )
+
+            st_sL[:, :] = st_sL[:, :] + jnp.sum(l, axis=0, keepdims=True)
+            st_sA[:, :] = st_sA[:, :] + jnp.sum(gww, axis=0, keepdims=True)
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            dblk_ref[dsl, :] = jnp.zeros((CHUNK, NUM_ROWS), jnp.float32)
+
+
+def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, ny, tilesize):
+    R, Lpad = attrsT.shape
+    nbc = Lpad // CHUNK
+    grid = Lpad // (CPB * CHUNK)
+    P = tilesize * tilesize
+    T_total = nx * ny
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, CHUNK), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_ROWS, CPB * CHUNK), lambda i, tc, kc: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_stream_fwd_kernel, nx, tilesize, T_total),
+        out_shape=jax.ShapeDtypeStruct((nbc, 8, P), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(tile_of_chunk, k_of_chunk, _tri_matrix(), _pix_basis(tilesize, P), attrsT)
+
+
+def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, gchunks, fchunks, nx, ny, tilesize):
+    R, Lpad = attrsT.shape
+    nbc = Lpad // CHUNK
+    grid = Lpad // (CPB * CHUNK)
+    P = tilesize * tilesize
+    T_total = nx * ny
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, CHUNK), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_ROWS, CPB * CHUNK), lambda i, tc, kc: (0, grid - 1 - i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (grid - 1 - i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (grid - 1 - i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CPB * CHUNK, NUM_ROWS), lambda i, tc, kc: (grid - 1 - i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_stream_bwd_kernel, nx, tilesize, T_total, grid),
+        out_shape=jax.ShapeDtypeStruct((Lpad, NUM_ROWS), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(tile_of_chunk, k_of_chunk, _tri_matrix(), _pix_basis(tilesize, P), attrsT, gchunks, fchunks)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def stream_gather_composite(attrs, bins, nx, ny, tilesize):
+    """Stream-kernel compositing of the full tile grid: returns [T, 8, P]
+    (rows OUT_R..OUT_D premultiplied rgb+depth, OUT_LOGT the final log
+    transmittance, OUT_LASTP the last-contributor position), with the same
+    scatter-free custom VJP routing as flat_gather_composite."""
+    out, _ = _stream_gather_fwd(attrs, bins, nx, ny, tilesize)
+    return out
+
+
+def _stream_gather_fwd(attrs, bins, nx, ny, tilesize):
+    # barriers: see _flat_gather_fwd (fused gather+transpose serializes)
+    aligned_attrs = attrs[jax.lax.optimization_barrier(bins.orig_idx_aligned)]
+    attrsT = jax.lax.optimization_barrier(aligned_attrs).T  # [R, L_pad]
+    out_chunks = _stream_fwd_impl(
+        attrsT, bins.tile_of_chunk, bins.k_of_chunk, nx, ny, tilesize
+    )  # [nbc, 8, P]
+    T_full = nx * ny
+    nbc = out_chunks.shape[0]
+    # a tile's final state sits in its LAST chunk's slot; empty tiles (no
+    # chunks) take the zero state (acc 0, logT 0 -> T = 1)
+    last_chunk = bins.aligned_starts[1 : T_full + 1] // CHUNK - 1
+    out = out_chunks[jnp.clip(last_chunk, 0, nbc - 1)]
+    out = out * (bins.counts > 0)[:, None, None].astype(out.dtype)
+    return out, (attrsT, bins, out, attrs.shape[0])
+
+
+def _stream_gather_bwd(nx, ny, tilesize, res, gout):
+    attrsT, bins, fout, n_attr = res
+    L = bins.orig_idx_sorted.shape[0]
+    R_USED = ROW_D + 1
+    nbc = attrsT.shape[1] // CHUNK
+    T_full = nx * ny
+    tile_c = jnp.clip(bins.tile_of_chunk[:nbc], 0, T_full - 1)
+    # chunk-gather the per-tile cotangents and forward state so the kernel
+    # reads them on the same auto-pipeline as the attribute stream ([T]-row
+    # gathers of 8 KB rows)
+    gchunks = gout[tile_c]
+    fchunks = fout[tile_c]
+    dT = _stream_bwd_impl(
+        attrsT, bins.tile_of_chunk, bins.k_of_chunk, gchunks, fchunks,
+        nx, ny, tilesize,
+    )  # [L_pad, NUM_ROWS] — already entry-major: no transpose needed
+    d_aligned = dT[:, :R_USED]
+    d_presort = d_aligned[bins.aligned_pos_of_presort]
+    e = jnp.arange(L, dtype=jnp.int32)
+    d_presort = d_presort * (e < bins.total_entries)[:, None]
+    csum = jax.lax.optimization_barrier(jnp.cumsum(d_presort, axis=0))
+    seg_end = jnp.clip(bins.seg_offsets + bins.seg_counts - 1, 0, L - 1)
+    end_vals = csum[seg_end]
+    start_prev = jnp.where(
+        (bins.seg_offsets > 0)[:, None],
+        csum[jnp.clip(bins.seg_offsets - 1, 0, L - 1)],
+        0.0,
+    )
+    sums_rank = jnp.where((bins.seg_counts > 0)[:, None], end_vals - start_prev, 0.0)
+    d_attrs = jax.lax.optimization_barrier(sums_rank)[bins.inv_order]
+    d_attrs = jnp.concatenate(
+        [d_attrs, jnp.zeros((d_attrs.shape[0], NUM_ROWS - R_USED), d_attrs.dtype)],
+        axis=1,
+    )
+    d_attrs = jnp.concatenate(
+        [d_attrs, jnp.zeros((n_attr - d_attrs.shape[0], NUM_ROWS), d_attrs.dtype)],
+        axis=0,
+    )
+
+    from jax.dtypes import float0
+
+    d_bins = jax.tree_util.tree_map(lambda x: np.zeros(x.shape, float0), bins)
+    return d_attrs, d_bins
+
+
+stream_gather_composite.defvjp(_stream_gather_fwd, _stream_gather_bwd)
