@@ -19,24 +19,31 @@ import numpy as np
 BASELINE_RAYS_PER_S = 3.1e8  # see module docstring
 
 
-def main():
+def main(dense: bool = False):
     import jax
     import jax.numpy as jnp
 
     from scgaussian_tpu.core.cameras import Camera
     from scgaussian_tpu.renderer import render
 
-    W, H = 1920, 1080
-    N = 100_000
+    if dense:
+        # BASELINE config 5 scale ("-r 1" dense protocol): 4K-class
+        # resolution, N >= 500k primitives. Splat sizes keep total entries
+        # inside the default 2M budget with zero truncation.
+        W, H = 3840, 2160
+        N = 500_000
+    else:
+        W, H = 1920, 1080
+        N = 100_000
     rng = np.random.default_rng(0)
     means = np.stack(
         [rng.uniform(-3, 3, N), rng.uniform(-2, 2, N), rng.uniform(2, 10, N)], -1
     ).astype(np.float32)
     # Splat sizes chosen so the full workload fits the default entry budget
-    # with zero truncation (436k tile entries, verified overflow == 0):
-    # every emitted entry is composited, matching CUDA's unbudgeted
-    # semantics. (The previous U(-5,-3) scene emitted 1.54M entries and
-    # silently truncated half of them.)
+    # with zero truncation (436k tile entries at 1080p, verified
+    # overflow == 0): every emitted entry is composited, matching CUDA's
+    # unbudgeted semantics. (The previous U(-5,-3) scene emitted 1.54M
+    # entries and silently truncated half of them.)
     scales = np.exp(rng.uniform(-5.5, -4.0, (N, 3))).astype(np.float32)
     quats = rng.normal(size=(N, 4)).astype(np.float32)
     opac = rng.uniform(0.2, 0.9, N).astype(np.float32)
@@ -87,7 +94,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "rays_per_s_per_chip_fwdbwd_1080p",
+                "metric": "rays_per_s_per_chip_fwdbwd_"
+                + ("4k_dense" if dense else "1080p"),
                 "value": rays_per_s,
                 "unit": "rays/s",
                 "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
@@ -97,4 +105,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(dense="--dense" in sys.argv)

@@ -221,13 +221,20 @@ def main(argv=None):
     t_start = time.time()
     ema = {"loss": 0.0}
 
+    first_test_iter = min(test_iterations) if test_iterations else -1
+
     def evaluate(model, cams, name, iteration):
         l1s, psnrs = [], []
         bg = jnp.asarray([1.0, 1.0, 1.0] if args.white_background else [0.0, 0.0, 0.0])
-        for c in cams:
+        for idx, c in enumerate(cams):
             out = render_model(c.camera, model, bg, backend=args.backend, raster=raster)
             img = jnp.clip(out.render, 0, 1)
             gt = jnp.clip(c.gt_image(), 0, 1)
+            if idx < 5:  # image panels, `train.py:252-260`
+                view = c.image_name or str(idx)
+                logger.images(f"{name}_view_{view}/render", img, iteration)
+                if iteration == first_test_iter:
+                    logger.images(f"{name}_view_{view}/ground_truth", gt, iteration)
             if c.dtumask is not None:
                 m = jnp.asarray(c.dtumask) > 0
                 l1s.append(float(jnp.mean(jnp.abs(img - gt) * m) / jnp.mean(m)))

@@ -83,13 +83,21 @@ def default_entry_budget(n: int) -> int:
     return 1 << (want - 1).bit_length()
 
 
-def aligned_entry_budget(entry_budget: int) -> int:
-    """Aligned-layout budget: 2x the entry budget. The pad overhead is at
-    most (CHUNK - 1) per non-empty tile (~0.5M worst case at 1080p/16px
-    tiles), and measured aligned totals sit at ~1.15x entries; 2x leaves
-    room and keeps the power-of-two shape. The training guard treats
-    aligned overflow like entry overflow (regrow + recompile)."""
-    return 2 * entry_budget
+def aligned_entry_budget(entry_budget: int, chunk: int = 128) -> int:
+    """Aligned-layout budget. The pad overhead is at most (chunk - 1) per
+    non-empty tile, so finer chunks need less headroom: 2x the entry budget
+    at chunk 128 (measured aligned totals sit at ~2.4x entries there because
+    shallow 1080p tiles pad to a full 128), 1.5x at chunk <= 32 (~1.2x
+    measured). Budgets stay multiples of 1024 so stream blocks (CPB x chunk
+    lanes) divide them. The training guard treats aligned overflow like
+    entry overflow (regrow + recompile)."""
+    # floor: one full stream block (tile_raster.CPB == 16 chunks), so the
+    # stream kernels' grid = L_pad / (CPB * chunk) is never zero even for
+    # deliberately tiny budgets (the overflow-guard tests use budget 16)
+    floor = 16 * chunk
+    if chunk <= 32:
+        return max((3 * entry_budget) // 2, floor)
+    return max(2 * entry_budget, floor)
 
 
 def bin_gaussians(
@@ -98,6 +106,7 @@ def bin_gaussians(
     height: int,
     tile: int,
     entry_budget: int,
+    chunk: int = 128,
 ) -> TileBins:
     nx = (width + tile - 1) // tile
     ny = (height + tile - 1) // tile
@@ -110,8 +119,16 @@ def bin_gaussians(
 
     order = depth_order(depth, proj.valid).astype(jnp.int32)  # [N] rank -> orig
     inv_order = jnp.argsort(order).astype(jnp.int32)
-    mean2d_s = mean2d[order]
-    radius_s = proj.radius[order]
+    # ONE packed row gather (instead of two) with barriers on both sides:
+    # gathers fused into their producer (the sort) or consumer chains lower
+    # to serialized scalar loops on TPU (see module docstring).
+    packed_mr = jnp.concatenate(
+        [mean2d, proj.radius.astype(jnp.float32)[:, None]], axis=1
+    )
+    packed_mr, order_b = jax.lax.optimization_barrier((packed_mr, order))
+    packed_s = jax.lax.optimization_barrier(packed_mr[order_b])
+    mean2d_s = packed_s[:, :2]
+    radius_s = packed_s[:, 2].astype(jnp.int32)
 
     rect_min, rect_max = tile_rect(mean2d_s, radius_s, width, height, tile)
     cov_w = rect_max[:, 0] - rect_min[:, 0]
@@ -139,10 +156,27 @@ def bin_gaussians(
     fields = jnp.stack(
         [rect_min[:, 0], rect_min[:, 1], cov_w, order, offs], axis=1
     ).astype(jnp.int32)  # [N, 5]
-    steps = jnp.diff(fields, axis=0, prepend=jnp.zeros((1, 5), jnp.int32))
-    pr = jnp.cumsum(
-        jnp.zeros((L, 5), jnp.int32).at[offs].add(steps, mode="drop"), axis=0
-    )  # [L, 5] segment-broadcast fields, exact in int32
+    # Segment id per entry via a 1-column scatter-ones + cumsum (empty
+    # segments share a position; their marks accumulate so cumsum-1 lands on
+    # the LAST = owning Gaussian), then ONE row gather of the 5 fields from
+    # the small [N, 5] table. This replaces a 5-column scatter-add of field
+    # STEPS (+ a [L, 5] cumsum) that measured 4.4 ms composed — the 1-column
+    # scatter plus a small-source row gather is ~3x cheaper. Barriers keep
+    # scatter and gather unfused from their producer chains.
+    offs_b, ones_b, fields_b = jax.lax.optimization_barrier(
+        (offs, jnp.ones((n,), jnp.int32), fields)
+    )
+    gi = (
+        jnp.cumsum(
+            jax.lax.optimization_barrier(
+                jnp.zeros((L,), jnp.int32).at[offs_b].add(ones_b, mode="drop")
+            )
+        )
+        - 1
+    )  # [L] depth-rank segment index (== searchsorted(offs, e, 'right') - 1)
+    pr = jax.lax.optimization_barrier(
+        fields_b[jnp.clip(gi, 0, n - 1)]
+    )  # [L, 5] segment-broadcast fields
     j = e - pr[:, 4]
     cw = jnp.maximum(pr[:, 2], 1)
     # j // cw via fp32: vector integer division has no TPU hardware path
@@ -172,7 +206,8 @@ def bin_gaussians(
         )
 
     starts = jnp.searchsorted(
-        tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        jax.lax.optimization_barrier(tile_sorted),
+        jnp.arange(num_tiles + 1, dtype=jnp.int32),
     ).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
 
@@ -180,11 +215,14 @@ def bin_gaussians(
     # PERFORMANCE: everything here avoids per-slot 1D gathers ([L_pad]-sized
     # gathers cost ~6 ns/element on TPU = tens of ms). Per-slot quantities
     # are computed at CHUNK-block granularity (arrays [L_pad/chunk]) and
-    # broadcast, the index relayout is a batched 128-CONTIGUOUS dynamic
-    # slice (vector loads, not element gathers), and the presort mapping
+    # broadcast, the index relayout is ONE monotone unique-destination
+    # scatter-set (the cheap direction on TPU), and the presort mapping
     # rides the existing inverse-permutation sort as an extra payload.
-    chunk = 128  # == tile_raster.CHUNK (import cycle; asserted there)
-    L_pad = aligned_entry_budget(L)
+    # `chunk` is the alignment granularity: 128 (== tile_raster.CHUNK) for
+    # the v2 flat kernels' manual DMA windows, 32 (== tile_raster.SCHUNK)
+    # for the v3 stream kernels (less intra-tile padding; the entry axis
+    # rides fp32 SUBLANES there, whose tile is 8).
+    L_pad = aligned_entry_budget(L, chunk)
     nb = L_pad // chunk
     aligned_cnt = ((counts + chunk - 1) // chunk) * chunk
     aligned_starts = jnp.concatenate(
@@ -205,31 +243,8 @@ def bin_gaussians(
         .add(1, mode="drop")
     )
     tile_b = jnp.clip(jnp.cumsum(marks_b) - 1, 0, num_tiles - 1)  # [nb]
-    starts_b = starts[tile_b]  # [nb] gathers from small [T] arrays: cheap
-    astarts_b = aligned_starts[tile_b]
-    counts_b = counts[tile_b]
+    astarts_b = aligned_starts[tile_b]  # [nb] gather from small [T]: cheap
     block0 = jnp.arange(nb, dtype=jnp.int32) * chunk
-    # each aligned block copies a CONTIGUOUS 128-run of the sorted entries.
-    # optimization_barrier: a gather fused with its producer chain lowers to
-    # a serialized scalar loop on TPU (measured 8 ms fused vs 0.03 ms split).
-    orig_sorted_pad = jnp.concatenate(
-        [orig_sorted, jnp.full((chunk,), n, jnp.int32)]
-    )
-    block_src = jnp.clip(starts_b + (block0 - astarts_b), 0, L)
-    block_src, orig_sorted_pad = jax.lax.optimization_barrier(
-        (block_src, orig_sorted_pad)
-    )
-    gathered = jax.vmap(
-        lambda o: jax.lax.dynamic_slice(orig_sorted_pad, (o,), (chunk,))
-    )(block_src)  # [nb, chunk]
-    rank_s = (
-        (block0 - astarts_b)[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]
-    )
-    valid_s = (rank_s >= 0) & (rank_s < counts_b[:, None]) & (
-        (block0[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :])
-        < aligned_total
-    )
-    orig_idx_aligned = jnp.where(valid_s, gathered, n).reshape(-1)
 
     # per-chunk stream metadata: every aligned chunk belongs to exactly one
     # tile, so the stream kernels walk chunks sequentially and reset/flush
@@ -252,10 +267,29 @@ def bin_gaussians(
     # owner's delta — same trick as the expand's gi).
     delta = aligned_starts[:num_tiles] - starts[:num_tiles]  # [T] >= 0
     delta_step = jnp.diff(delta, prepend=0)
+    sc_idx, sc_val = jax.lax.optimization_barrier(
+        (starts[:num_tiles], delta_step)
+    )
     delta_sorted = jnp.cumsum(
-        jnp.zeros((L,), jnp.int32).at[starts[:num_tiles]].add(delta_step, mode="drop")
+        jax.lax.optimization_barrier(
+            jnp.zeros((L,), jnp.int32).at[sc_idx].add(sc_val, mode="drop")
+        )
     )
     aligned_pos_of_sorted = jnp.clip(e + delta_sorted, 0, L_pad - 1)
+
+    # aligned index relayout as ONE monotone SCATTER-SET [L] -> [L_pad]
+    # (unique destinations; invalid/overflow entries get dest >= L_pad and
+    # drop). Measured alternatives at 1080p: vmapped dynamic_slice lowers to
+    # a sequential while loop (6.4 ms), element gathers cost ~7 ns/elem
+    # (6.4-7.5 ms, and the flattened variant poisons the downstream attrs
+    # row-gather's layout 1.9 -> 14.9 ms); the scatter-set is ~1 ms.
+    dest = jnp.where(
+        (e < total) & (tile_sorted < num_tiles), e + delta_sorted, L_pad
+    )
+    dest_b, orig_b = jax.lax.optimization_barrier((dest, orig_sorted))
+    orig_idx_aligned = jax.lax.optimization_barrier(
+        jnp.full((L_pad,), n, jnp.int32).at[dest_b].set(orig_b, mode="drop")
+    )
 
     # Inverse permutation via a second cheap sort (a sort is ~1 ms at L=800k
     # where an 800k-row scatter is ~45 ms on TPU): sorting (presort_pos,

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from scgaussian_tpu.core import sh as sh_lib
-from scgaussian_tpu.core import transforms
 from scgaussian_tpu.core.cameras import Camera
 
 NEAR_CULL_Z = 0.2  # CUDA in_frustum near cull
@@ -48,9 +47,36 @@ def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
 def compute_cov3d(
     scaling: jnp.ndarray, rotation: jnp.ndarray, scaling_modifier: float = 1.0
 ) -> jnp.ndarray:
-    """[N,3] activated scales + [N,4] quats -> packed [N,6] 3D covariance."""
-    cov = transforms.covariance_from_scaling_rotation(scaling, scaling_modifier, rotation)
-    return transforms.strip_symmetric(cov)
+    """[N,3] activated scales + [N,4] quats -> packed [N,6] 3D covariance.
+
+    Fully ELEMENTWISE expansion of Sigma = R S S^T R^T (same math as
+    `transforms.covariance_from_scaling_rotation`, i.e. the reference's
+    `build_covariance_from_scaling_rotation`, `scene/gaussian_model.py:37-41`):
+    Sigma_ab = sum_j s_j^2 R_aj R_bj over [N] vectors. Batched [N,3,3]
+    matmuls lower to a serialized small-matmul loop on TPU (measured ~5 ms at
+    N=100k vs ~0.1 ms elementwise) and bf16 MXU passes lose precision the
+    VPU keeps for free — fp32 elementwise is both faster and exact."""
+    q = rotation / jnp.linalg.norm(rotation, axis=-1, keepdims=True)
+    r, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    # rows of R (matches transforms.quat_to_rotmat / `build_rotation`)
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - r * z)
+    r02 = 2 * (x * z + r * y)
+    r10 = 2 * (x * y + r * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - r * x)
+    r20 = 2 * (x * z - r * y)
+    r21 = 2 * (y * z + r * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s = scaling_modifier * scaling
+    s0, s1, s2 = s[:, 0] ** 2, s[:, 1] ** 2, s[:, 2] ** 2
+    xx = s0 * r00 * r00 + s1 * r01 * r01 + s2 * r02 * r02
+    xy = s0 * r00 * r10 + s1 * r01 * r11 + s2 * r02 * r12
+    xz = s0 * r00 * r20 + s1 * r01 * r21 + s2 * r02 * r22
+    yy = s0 * r10 * r10 + s1 * r11 * r11 + s2 * r12 * r12
+    yz = s0 * r10 * r20 + s1 * r11 * r21 + s2 * r12 * r22
+    zz = s0 * r20 * r20 + s1 * r21 * r21 + s2 * r22 * r22
+    return jnp.stack([xx, xy, xz, yy, yz, zz], axis=-1)
 
 
 def compute_cov2d(
@@ -68,11 +94,15 @@ def compute_cov2d(
     tangent before building the Jacobian.
     """
     R = world_view[:3, :3]
-    # HIGH (bf16_3x) precision throughout projection: TPU's default bf16
-    # multiplies carry ~1e-3 relative error, i.e. ~1px at 1080p —
-    # unacceptable for the geometry path (the CUDA reference is full fp32).
-    # bf16_3x is ~1e-6 relative (~0.002px), at ~1% of fwd+bwd step cost.
-    t = jnp.matmul(means3d, R.T, precision=jax.lax.Precision.HIGH) + world_view[:3, 3]
+    # ELEMENTWISE column combination instead of [N,3]x[3,3] matmul: exact
+    # fp32 on the VPU (the CUDA reference is full fp32; TPU MXU fp32 passes
+    # would need bf16_3x and still lower small-N matmuls poorly).
+    t = (
+        means3d[:, 0:1] * R[None, :, 0]
+        + means3d[:, 1:2] * R[None, :, 1]
+        + means3d[:, 2:3] * R[None, :, 2]
+        + world_view[None, :3, 3]
+    )
     # Degenerate-input safety: points at/behind the camera (e.g. dead
     # fixed-capacity slots) are culled by the near test, but 1/tz must stay
     # finite so their zero cotangents don't turn into NaNs in the backward.
@@ -97,12 +127,25 @@ def compute_cov2d(
     m0 = j00[:, None] * R[0] + j02[:, None] * R[2]  # [N, 3]
     m1 = j11[:, None] * R[1] + j12[:, None] * R[2]  # [N, 3]
 
-    V = transforms.unpack_symmetric(cov3d_packed)  # [N, 3, 3]
-    Vm0 = jnp.einsum("nij,nj->ni", V, m0, precision=jax.lax.Precision.HIGH)
-    Vm1 = jnp.einsum("nij,nj->ni", V, m1, precision=jax.lax.Precision.HIGH)
-    a = jnp.sum(m0 * Vm0, axis=-1) + 0.3
-    b = jnp.sum(m0 * Vm1, axis=-1)
-    c = jnp.sum(m1 * Vm1, axis=-1) + 0.3
+    # quadratic forms m^T V m expanded elementwise over the packed symmetric
+    # entries (exact fp32 on the VPU; see compute_cov3d's note on batched
+    # small matmuls)
+    vxx, vxy, vxz = cov3d_packed[:, 0], cov3d_packed[:, 1], cov3d_packed[:, 2]
+    vyy, vyz, vzz = cov3d_packed[:, 3], cov3d_packed[:, 4], cov3d_packed[:, 5]
+
+    def quad(u, w):  # u^T V w for [N, 3] vectors u, w
+        return (
+            vxx * u[:, 0] * w[:, 0]
+            + vyy * u[:, 1] * w[:, 1]
+            + vzz * u[:, 2] * w[:, 2]
+            + vxy * (u[:, 0] * w[:, 1] + u[:, 1] * w[:, 0])
+            + vxz * (u[:, 0] * w[:, 2] + u[:, 2] * w[:, 0])
+            + vyz * (u[:, 1] * w[:, 2] + u[:, 2] * w[:, 1])
+        )
+
+    a = quad(m0, m0) + 0.3
+    b = quad(m0, m1)
+    c = quad(m1, m1) + 0.3
     return jnp.stack([a, b, c], axis=-1)
 
 
@@ -128,8 +171,12 @@ def sh_to_color(
     # bounds the backward amplification to ~1e6 so numerical-noise
     # cotangents on culled Gaussians cannot explode.
     dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-12)
-    sh_cm = jnp.swapaxes(shs, -1, -2)  # [N, 3, K] channel-major for eval_sh
-    rgb = sh_lib.eval_sh(active_sh_degree, sh_cm, dirs) + 0.5
+    # basis-times-coefficients form: consumes the reference's [N, K, 3]
+    # coefficient-major layout directly (no swapaxes — its backward
+    # materializes a [N, K, 3] transposed copy, measured 2.3 ms at N=100k)
+    k = sh_lib.num_sh_coeffs(active_sh_degree)
+    basis = sh_lib.eval_sh_basis(active_sh_degree, dirs)  # [N, k]
+    rgb = jnp.sum(basis[:, :, None] * shs[:, :k, :], axis=1) + 0.5
     return jnp.maximum(rgb, 0.0)
 
 
@@ -154,14 +201,21 @@ def project(
     focal_x = W / (2.0 * camera.tanfovx)
     focal_y = H / (2.0 * camera.tanfovy)
 
-    ones = jnp.ones((means3d.shape[0], 1), dtype=means3d.dtype)
-    hom = jnp.concatenate([means3d, ones], axis=-1)
+    # elementwise column combinations (exact fp32 on the VPU; see
+    # compute_cov3d's note on batched small matmuls)
+    def xform(M):  # [N, 4] = [means3d, 1] @ M.T
+        return (
+            means3d[:, 0:1] * M[None, :, 0]
+            + means3d[:, 1:2] * M[None, :, 1]
+            + means3d[:, 2:3] * M[None, :, 2]
+            + M[None, :, 3]
+        )
 
-    p_view = jnp.matmul(hom, camera.world_view.T, precision=jax.lax.Precision.HIGH)  # [N, 4]
+    p_view = xform(camera.world_view)  # [N, 4]
     depth = p_view[:, 2]
     in_front = depth > NEAR_CULL_Z
 
-    p_hom = jnp.matmul(hom, camera.full_proj.T, precision=jax.lax.Precision.HIGH)  # [N, 4]
+    p_hom = xform(camera.full_proj)  # [N, 4]
     p_w = 1.0 / (p_hom[:, 3] + 1e-7)
     p_proj = p_hom[:, :3] * p_w[:, None]
     mean2d = jnp.stack([ndc2pix(p_proj[:, 0], W), ndc2pix(p_proj[:, 1], H)], axis=-1)

@@ -217,10 +217,10 @@ def _bwd_kernel(nx: int, tilesize: int, counts_ref, tids_ref, tri_ref, data_ref,
     jax.lax.fori_loop(0, nchunks, body2, (logT0, done0, jnp.zeros((P, 1), jnp.float32)))
 
 
-def _tri_matrix() -> jnp.ndarray:
+def _tri_matrix(size: int = CHUNK) -> jnp.ndarray:
     """Upper-triangular (inclusive) ones: TRI[j, i] = 1 if j <= i, so that
     (L @ TRI)[p, i] = inclusive prefix sum of L along lanes."""
-    j = np.arange(CHUNK)
+    j = np.arange(size)
     return jnp.asarray((j[:, None] <= j[None, :]).astype(np.float32))
 
 
@@ -417,7 +417,12 @@ def rasterize(
     n = proj.depth.shape[0]
     if entry_budget is None:
         entry_budget = default_entry_budget(n)
-    bins = bin_gaussians(proj, width, height, tile, entry_budget)
+    # the stream (flat=True) path aligns tile segments at SCHUNK granularity;
+    # the v2/v1 fallbacks keep CHUNK-aligned windows for their manual DMAs
+    bins = bin_gaussians(
+        proj, width, height, tile, entry_budget,
+        chunk=SCHUNK if flat else CHUNK,
+    )
     nx = (width + tile - 1) // tile
     ny = (height + tile - 1) // tile
 
@@ -1001,6 +1006,14 @@ flat_gather_composite.defvjp(_flat_gather_fwd, _flat_gather_bwd)
 # gather wants, killing the [NUM_ROWS, L_pad] -> [L_pad, R] transpose.
 # --------------------------------------------------------------------------
 
+SCHUNK = 128  # stream-kernel chunk (entries per prefix-sum block).
+# MEASURED NEGATIVE RESULT (round 2): SCHUNK=32 — motivated by ~2.4x
+# intra-tile padding at 1080p (tiles average ~50 entries) and a 4x cheaper
+# triangular prefix matmul — made the forward 2.6x SLOWER (30 ms vs 11.7 ms
+# at 1080p/N=100k). Per-chunk cost is OVERHEAD-BOUND (state read/write,
+# @pl.when control flow, latency of the 5 dependent small matmuls), not
+# cell-count-bound, so 4x more chunks loses despite 2x fewer total cells.
+# Keep 128; the code stays parameterized for future hardware.
 CPB = 16  # chunks per stream block (one grid step)
 
 
@@ -1017,12 +1030,16 @@ def _stream_chunk_alpha(ablk_ref, sl, bx, by, pixb, tri_ref):
     a2 = cc * my + cb * mx
     a0 = -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my
     logop = jnp.log(op)  # -inf on the zero sentinel row => alpha == 0
-    zero = jnp.zeros_like(a0)
+    # rows 6-7 are annihilated by the ZERO columns 6-7 of pixb, so they can
+    # hold any value; reusing sliced rows (instead of jnp.zeros) keeps every
+    # concat operand on the SAME Mosaic vector layout — constants carry lane
+    # offset 0 while SCHUNK-offset slices carry offset j*SCHUNK, and Mosaic
+    # rejects sublane concats with mismatched lane offsets.
     coef = jnp.concatenate(
-        [a0, a1, a2, -0.5 * ca, -cb, -0.5 * cc, zero, zero], axis=0
+        [a0, a1, a2, -0.5 * ca, -cb, -0.5 * cc, a1, a2], axis=0
     )  # [_NQ, C]
     coefb = jnp.concatenate(
-        [a0 + logop, a1, a2, -0.5 * ca, -cb, -0.5 * cc, zero, zero], axis=0
+        [a0 + logop, a1, a2, -0.5 * ca, -cb, -0.5 * cc, a1, a2], axis=0
     )
     # power[c, p] = pixb[p] . coef[:, c]  — entries on sublanes
     power = jax.lax.dot_general(
@@ -1065,7 +1082,7 @@ def _stream_fwd_kernel(
         # already final
         @pl.when((t < T_total) & (jnp.min(st_done[:, :]) < 0.5))
         def _():
-            sl = pl.ds(j * CHUNK, CHUNK)
+            sl = pl.ds(j * SCHUNK, SCHUNK)
             bx = ((t % nx) * tilesize).astype(jnp.float32)
             by = ((t // nx) * tilesize).astype(jnp.float32)
             alpha, _, _, _ = _stream_chunk_alpha(ablk_ref, sl, bx, by, pixb, tri_ref)
@@ -1088,11 +1105,11 @@ def _stream_fwd_kernel(
             )
             st_logT[:, :] = logT + jnp.sum(l * inc, axis=0, keepdims=True)
             st_done[:, :] = jnp.maximum(
-                done, jnp.where(logT_after[CHUNK - 1 : CHUNK, :] < LOG_T_EPS, 1.0, 0.0)
+                done, jnp.where(logT_after[SCHUNK - 1 : SCHUNK, :] < LOG_T_EPS, 1.0, 0.0)
             )
             pos1 = (
-                k_in * CHUNK
-                + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + 1
+                k_in * SCHUNK
+                + jax.lax.broadcasted_iota(jnp.int32, (SCHUNK, 1), 0) + 1
             ).astype(jnp.float32)  # [C, 1]
             st_lastp[:, :] = jnp.maximum(
                 st_lastp[:, :],
@@ -1127,13 +1144,13 @@ def _stream_bwd_kernel(
 
         last_pos = fblk_ref[j, OUT_LASTP : OUT_LASTP + 1, :]  # [1, P]
         max_last = jnp.max(last_pos)
-        dsl = pl.ds(j * CHUNK, CHUNK)
+        dsl = pl.ds(j * SCHUNK, SCHUNK)
         # chunks with every entry past the last contributor carry zero grads
-        active = (t < T_total) & ((k_in * CHUNK).astype(jnp.float32) < max_last)
+        active = (t < T_total) & ((k_in * SCHUNK).astype(jnp.float32) < max_last)
 
         @pl.when(active)
         def _():
-            sl = pl.ds(j * CHUNK, CHUNK)
+            sl = pl.ds(j * SCHUNK, SCHUNK)
             bx = ((t % nx) * tilesize).astype(jnp.float32)
             by = ((t // nx) * tilesize).astype(jnp.float32)
             alpha, alpha_pre, live, power = _stream_chunk_alpha(
@@ -1143,8 +1160,8 @@ def _stream_bwd_kernel(
             g8 = gblk_ref[j]  # [8, P]
             g_logT = gblk_ref[j, OUT_LOGT : OUT_LOGT + 1, :]
             pos1 = (
-                k_in * CHUNK
-                + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + 1
+                k_in * SCHUNK
+                + jax.lax.broadcasted_iota(jnp.int32, (SCHUNK, 1), 0) + 1
             ).astype(jnp.float32)
             inc = live * jnp.where(pos1 <= last_pos, 1.0, 0.0)  # [C, P]
             alpha = alpha * inc
@@ -1208,7 +1225,7 @@ def _stream_bwd_kernel(
             dblk_ref[dsl, ROW_OP : ROW_OP + 1] = d_op_col
             dblk_ref[dsl, ROW_R : ROW_R + 8] = d_attrsT
             dblk_ref[dsl, ROW_R + 8 : NUM_ROWS] = jnp.zeros(
-                (CHUNK, NUM_ROWS - ROW_R - 8), jnp.float32
+                (SCHUNK, NUM_ROWS - ROW_R - 8), jnp.float32
             )
 
             st_sL[:, :] = st_sL[:, :] + jnp.sum(l, axis=0, keepdims=True)
@@ -1216,22 +1233,22 @@ def _stream_bwd_kernel(
 
         @pl.when(jnp.logical_not(active))
         def _():
-            dblk_ref[dsl, :] = jnp.zeros((CHUNK, NUM_ROWS), jnp.float32)
+            dblk_ref[dsl, :] = jnp.zeros((SCHUNK, NUM_ROWS), jnp.float32)
 
 
 def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, ny, tilesize):
     R, Lpad = attrsT.shape
-    nbc = Lpad // CHUNK
-    grid = Lpad // (CPB * CHUNK)
+    nbc = Lpad // SCHUNK
+    grid = Lpad // (CPB * SCHUNK)
     P = tilesize * tilesize
     T_total = nx * ny
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((CHUNK, CHUNK), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SCHUNK, SCHUNK), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NUM_ROWS, CPB * CHUNK), lambda i, tc, kc: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_ROWS, CPB * SCHUNK), lambda i, tc, kc: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -1246,26 +1263,26 @@ def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, ny, tilesize):
         out_shape=jax.ShapeDtypeStruct((nbc, 8, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(tile_of_chunk, k_of_chunk, _tri_matrix(), _pix_basis(tilesize, P), attrsT)
+    )(tile_of_chunk, k_of_chunk, _tri_matrix(SCHUNK), _pix_basis(tilesize, P), attrsT)
 
 
 def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, gchunks, fchunks, nx, ny, tilesize):
     R, Lpad = attrsT.shape
-    nbc = Lpad // CHUNK
-    grid = Lpad // (CPB * CHUNK)
+    nbc = Lpad // SCHUNK
+    grid = Lpad // (CPB * SCHUNK)
     P = tilesize * tilesize
     T_total = nx * ny
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((CHUNK, CHUNK), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SCHUNK, SCHUNK), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NUM_ROWS, CPB * CHUNK), lambda i, tc, kc: (0, grid - 1 - i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_ROWS, CPB * SCHUNK), lambda i, tc, kc: (0, grid - 1 - i), memory_space=pltpu.VMEM),
             pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (grid - 1 - i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (grid - 1 - i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((CPB * CHUNK, NUM_ROWS), lambda i, tc, kc: (grid - 1 - i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((CPB * SCHUNK, NUM_ROWS), lambda i, tc, kc: (grid - 1 - i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
@@ -1276,7 +1293,7 @@ def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, gchunks, fchunks, nx, ny
         out_shape=jax.ShapeDtypeStruct((Lpad, NUM_ROWS), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(tile_of_chunk, k_of_chunk, _tri_matrix(), _pix_basis(tilesize, P), attrsT, gchunks, fchunks)
+    )(tile_of_chunk, k_of_chunk, _tri_matrix(SCHUNK), _pix_basis(tilesize, P), attrsT, gchunks, fchunks)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -1300,7 +1317,7 @@ def _stream_gather_fwd(attrs, bins, nx, ny, tilesize):
     nbc = out_chunks.shape[0]
     # a tile's final state sits in its LAST chunk's slot; empty tiles (no
     # chunks) take the zero state (acc 0, logT 0 -> T = 1)
-    last_chunk = bins.aligned_starts[1 : T_full + 1] // CHUNK - 1
+    last_chunk = bins.aligned_starts[1 : T_full + 1] // SCHUNK - 1
     out = out_chunks[jnp.clip(last_chunk, 0, nbc - 1)]
     out = out * (bins.counts > 0)[:, None, None].astype(out.dtype)
     return out, (attrsT, bins, out, attrs.shape[0])
@@ -1310,19 +1327,24 @@ def _stream_gather_bwd(nx, ny, tilesize, res, gout):
     attrsT, bins, fout, n_attr = res
     L = bins.orig_idx_sorted.shape[0]
     R_USED = ROW_D + 1
-    nbc = attrsT.shape[1] // CHUNK
+    nbc = attrsT.shape[1] // SCHUNK
     T_full = nx * ny
     tile_c = jnp.clip(bins.tile_of_chunk[:nbc], 0, T_full - 1)
     # chunk-gather the per-tile cotangents and forward state so the kernel
     # reads them on the same auto-pipeline as the attribute stream ([T]-row
-    # gathers of 8 KB rows)
+    # gathers of 8 KB rows); barriers keep the gathers unfused from their
+    # producer chains (fused gathers serialize)
+    tile_c, gout, fout = jax.lax.optimization_barrier((tile_c, gout, fout))
     gchunks = gout[tile_c]
     fchunks = fout[tile_c]
     dT = _stream_bwd_impl(
         attrsT, bins.tile_of_chunk, bins.k_of_chunk, gchunks, fchunks,
         nx, ny, tilesize,
     )  # [L_pad, NUM_ROWS] — already entry-major: no transpose needed
-    d_aligned = dT[:, :R_USED]
+    # barrier: keep the row slice and the routing gather as separate
+    # vectorized ops (a gather fused with its producer slice serializes to a
+    # scalar-load loop; see _flat_gather_bwd)
+    d_aligned = jax.lax.optimization_barrier(dT[:, :R_USED])
     d_presort = d_aligned[bins.aligned_pos_of_presort]
     e = jnp.arange(L, dtype=jnp.int32)
     d_presort = d_presort * (e < bins.total_entries)[:, None]

@@ -45,6 +45,15 @@ class TrainLogger:
         self.scalar(f"{name}/loss_viewpoint - l1_loss", l1, iteration)
         self.scalar(f"{name}/loss_viewpoint - psnr", psnr, iteration)
 
+    def images(self, tag: str, image, step: int) -> None:
+        """`train.py:252-260` image panels: a [3, H, W] float image in [0,1]
+        logged under `<config>_view_<name>/render` (and `/ground_truth` once
+        at the first test iteration)."""
+        if self.tb is not None:
+            import numpy as np
+
+            self.tb.add_images(tag, np.asarray(image)[None], global_step=step)
+
     def histogram(self, tag: str, values, step: int) -> None:
         if self.tb is not None:
             import numpy as np

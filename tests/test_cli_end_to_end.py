@@ -237,6 +237,11 @@ def test_viewer_polled_during_training(scene_dir, tmp_path):
             except OSError:
                 time.sleep(0.05)
         assert conn is not None, "never connected to training viewer"
+        # create_connection's timeout sticks to the socket: a 1 s recv
+        # timeout races the first viewer-render XLA compile (> 1 s on CPU),
+        # killing this thread with the socket still open and deadlocking
+        # training in its blocking recv. Generous timeout + guaranteed close.
+        conn.settimeout(300.0)
         msg = {
             "resolution_x": 32, "resolution_y": 24,
             "train": True, "keep_alive": False,
@@ -247,13 +252,15 @@ def test_viewer_polled_during_training(scene_dir, tmp_path):
             "view_projection_matrix": list(np.eye(4).flatten().astype(float)),
         }
         payload = _json.dumps(msg).encode()
-        for _ in range(3):  # three frames over consecutive iterations
-            conn.sendall(len(payload).to_bytes(4, "little") + payload)
-            img = conn.recv(32 * 24 * 3, socket.MSG_WAITALL)
-            n = int.from_bytes(conn.recv(4, socket.MSG_WAITALL), "little")
-            verify = conn.recv(n, socket.MSG_WAITALL).decode()
-            frames.append((len(img), verify))
-        conn.close()
+        try:
+            for _ in range(3):  # three frames over consecutive iterations
+                conn.sendall(len(payload).to_bytes(4, "little") + payload)
+                img = conn.recv(32 * 24 * 3, socket.MSG_WAITALL)
+                n = int.from_bytes(conn.recv(4, socket.MSG_WAITALL), "little")
+                verify = conn.recv(n, socket.MSG_WAITALL).decode()
+                frames.append((len(img), verify))
+        finally:
+            conn.close()  # unblocks the server even if this thread fails
 
     t = threading.Thread(target=client)
     t.start()
@@ -274,3 +281,21 @@ def test_viewer_polled_during_training(scene_dir, tmp_path):
     for img_len, verify in frames:
         assert img_len == 32 * 24 * 3
         assert verify == os.path.abspath(scene_dir)
+
+
+def test_acceptance_harness_synthetic(tmp_path):
+    """The one-command acceptance harness dry-runs end to end (train ->
+    render -> metrics) on the synthetic scene (VERDICT round-1 item 8)."""
+    from scgaussian_tpu.apps import acceptance
+
+    model_dir = str(tmp_path / "acceptance_model")
+    results = acceptance.main(
+        [
+            "--synthetic", "--backend", "oracle", "-m", model_dir,
+            "--iterations", "40", "--init_iterations", "120",
+        ]
+    )
+    key = "ours_40"
+    assert key in results
+    assert results[key]["PSNR"] is not None
+    assert os.path.exists(os.path.join(model_dir, "results.json"))

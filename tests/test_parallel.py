@@ -115,9 +115,14 @@ def test_tile_sharded_render_matches_single(setup):
     img2, d2, a2, _ = tile_shard.rasterize_tile_sharded(
         mesh, proj, cam.width, cam.height, jnp.zeros(3), entry_budget=8192,
     )
-    np.testing.assert_allclose(np.asarray(img2), np.asarray(img1), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-6)
+    # img1 comes from the v3 STREAM kernels, img2 from the v2 flat kernels:
+    # the two evaluate alpha with different (documented) fp32 op orders
+    # (exp(powop - relu(power)) with folded log-opacity vs op * exp(min)),
+    # so cross-kernel agreement is ~1e-5 absolute, not bitwise.
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(img1), atol=2e-5)
+    # depth is metric-valued (~camera distance), so tolerance needs rtol
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=2e-5)
 
     # gradients: tile-sharded render is differentiable (flat kernels + custom
     # VJP under shard_map) and matches the single-device gradients
@@ -140,7 +145,10 @@ def test_tile_sharded_render_matches_single(setup):
     g2 = jax.grad(loss_sharded)(proj.mean2d)
     g1 = jax.grad(loss_single)(proj.mean2d)
     scale = np.abs(np.asarray(g1)).max() + 1e-8
-    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-5 * scale)
+    # cross-kernel gradient budget: each kernel family's own oracle parity
+    # is asserted at 5e-4*scale (test_tile_raster); comparing v2-flat grads
+    # against v3-stream grads composes both budgets.
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=5e-4 * scale)
 
 
 def test_primitive_tile_2d_mesh_render(setup):
@@ -169,8 +177,9 @@ def test_primitive_tile_2d_mesh_render(setup):
 
     proj = pm.project(cam, means, opac, scales=scl, rotations=rot, shs=shs, active_sh_degree=3)
     img1, d1, a1, _ = tr.rasterize(proj, cam.width, cam.height, jnp.zeros(3), entry_budget=8192)
-    np.testing.assert_allclose(np.asarray(img2), np.asarray(img1), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-6)
+    # cross-kernel (v2 flat vs v3 stream) tolerance — see note above
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(img1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=1e-4, atol=2e-5)
 
     # gradient flow through both collectives
     def loss(means, opac):
@@ -188,6 +197,6 @@ def test_primitive_tile_2d_mesh_render(setup):
 
     g1_means, g1_opac = jax.grad(loss1, argnums=(0, 1))(means, opac)
     scale = np.abs(np.asarray(g1_means)).max() + 1e-8
-    np.testing.assert_allclose(np.asarray(g_means), np.asarray(g1_means), atol=1e-4 * scale)
+    np.testing.assert_allclose(np.asarray(g_means), np.asarray(g1_means), atol=5e-4 * scale)
     scale = np.abs(np.asarray(g1_opac)).max() + 1e-8
-    np.testing.assert_allclose(np.asarray(g_opac), np.asarray(g1_opac), atol=1e-4 * scale)
+    np.testing.assert_allclose(np.asarray(g_opac), np.asarray(g1_opac), atol=5e-4 * scale)
