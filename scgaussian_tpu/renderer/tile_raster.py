@@ -1015,6 +1015,47 @@ SCHUNK = 128  # stream-kernel chunk (entries per prefix-sum block).
 # cell-count-bound, so 4x more chunks loses despite 2x fewer total cells.
 # Keep 128; the code stays parameterized for future hardware.
 CPB = 16  # chunks per stream block (one grid step)
+SUB = 32  # sub-chunk width of the hierarchical prefix/suffix (fp32 sublane
+# tile is 8, so 32-sublane slices stay layout-aligned)
+
+
+def _prefix_sublanes(x, tri32):
+    """Inclusive prefix sum of x [SCHUNK, P] along SUBLANES via NSUB
+    independent [SUB, SUB] triangular matmuls + a cheap carry combine —
+    SCHUNK/SUB times fewer MXU MACs than one [SCHUNK, SCHUNK] triangular
+    matmul (the tri matmuls dominate the stream kernels' MXU work)."""
+    nsub = SCHUNK // SUB
+    pieces = []
+    carry = None
+    for g in range(nsub):
+        xg = x[g * SUB : (g + 1) * SUB, :]
+        sg = jax.lax.dot_general(
+            tri32, xg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [SUB, P] inclusive within the group
+        pieces.append(sg if carry is None else sg + carry)
+        tot = sg[SUB - 1 : SUB, :]
+        carry = tot if carry is None else carry + tot
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _suffix_sublanes(x, tri32):
+    """Suffix-inclusive sum of x [SCHUNK, P] along SUBLANES (mirror of
+    _prefix_sublanes; used by the reverse-walk backward)."""
+    nsub = SCHUNK // SUB
+    pieces = [None] * nsub
+    carry = None
+    for g in reversed(range(nsub)):
+        xg = x[g * SUB : (g + 1) * SUB, :]
+        sg = jax.lax.dot_general(
+            tri32, xg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [SUB, P] suffix-inclusive within the group
+        pieces[g] = sg if carry is None else sg + carry
+        tot = sg[0:1, :]
+        carry = tot if carry is None else carry + tot
+    return jnp.concatenate(pieces, axis=0)
+
 
 
 def _stream_chunk_alpha(ablk_ref, sl, bx, by, pixb, tri_ref):
@@ -1035,19 +1076,29 @@ def _stream_chunk_alpha(ablk_ref, sl, bx, by, pixb, tri_ref):
     # concat operand on the SAME Mosaic vector layout — constants carry lane
     # offset 0 while SCHUNK-offset slices carry offset j*SCHUNK, and Mosaic
     # rejects sublane concats with mismatched lane offsets.
-    coef = jnp.concatenate(
-        [a0, a1, a2, -0.5 * ca, -cb, -0.5 * cc, a1, a2], axis=0
-    )  # [_NQ, C]
-    coefb = jnp.concatenate(
-        [a0 + logop, a1, a2, -0.5 * ca, -cb, -0.5 * cc, a1, a2], axis=0
-    )
-    # power[c, p] = pixb[p] . coef[:, c]  — entries on sublanes
-    power = jax.lax.dot_general(
-        coef, pixb, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [C, P]
-    powop = jax.lax.dot_general(
-        coefb, pixb, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    # ONE fused matmul for both quadratic forms: coef and coefb share all
+    # rows except row 0 (a0 vs a0 + log(op)), stacked on the LANE axis so a
+    # single MXU pass yields [2C, P] — halves the dependent-matmul latency
+    # chain per chunk vs two separate dots.
+    coef2 = jnp.concatenate(
+        [
+            jnp.concatenate([a0, a0 + logop], axis=1),
+            jnp.concatenate([a1, a1], axis=1),
+            jnp.concatenate([a2, a2], axis=1),
+            jnp.concatenate([-0.5 * ca, -0.5 * ca], axis=1),
+            jnp.concatenate([-cb, -cb], axis=1),
+            jnp.concatenate([-0.5 * cc, -0.5 * cc], axis=1),
+            jnp.concatenate([a1, a1], axis=1),
+            jnp.concatenate([a2, a2], axis=1),
+        ],
+        axis=0,
+    )  # [_NQ, 2C] (rows 6-7 annihilated by pixb's zero columns)
+    power2 = jax.lax.dot_general(
+        coef2, pixb, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [2C, P]
+    C = a0.shape[1]
+    power = power2[:C]
+    powop = power2[C:]
     alpha_pre = jnp.exp(powop - jnp.maximum(power, 0.0))  # == op * exp(min(power, 0))
     alpha = jnp.minimum(ALPHA_MAX, alpha_pre)
     live = jnp.where((power <= POWER_EPS) & (alpha >= ALPHA_MIN), 1.0, 0.0)
@@ -1065,56 +1116,56 @@ def _stream_fwd_kernel(
     P = tilesize * tilesize
     i = pl.program_id(0)
     pixb = pixb_ref[:]  # [P, _NQ]
+    # BRANCHLESS chunk bodies: the previous @pl.when guards (segment-head
+    # state reset; skip of sentinel / fully-early-stopped chunks) serialized
+    # the unrolled loop — every chunk's 3 dependent matmuls waited on the
+    # previous chunk's control flow. Resets are a multiply by a 0/1 keep
+    # flag, sentinel chunks compute against the zero sentinel attribute rows
+    # (alpha == 0 => exact no-op on the carried state), and the early-stop
+    # remains exact through the `inc` mask. This lets Mosaic overlap the
+    # matmul chains of adjacent chunks.
     for j in range(CPB):
         c = i * CPB + j
         t = tile_c_ref[c]
         k_in = k_c_ref[c]
+        # reset by SELECTION, not multiplication: the scratch is
+        # uninitialized garbage before the first segment head, and
+        # NaN * 0 == NaN would poison the whole stream
+        head = k_in == 0
+        logT = jnp.where(head, 0.0, st_logT[:, :])  # [1, P]
+        done = jnp.where(head, 0.0, st_done[:, :])
+        acc_in = jnp.where(head, 0.0, st_acc[:, :])
+        lastp_in = jnp.where(head, 0.0, st_lastp[:, :])
 
-        @pl.when(k_in == 0)
-        def _():
-            st_acc[:, :] = jnp.zeros((8, P), jnp.float32)
-            st_logT[:, :] = jnp.zeros((1, P), jnp.float32)
-            st_done[:, :] = jnp.zeros((1, P), jnp.float32)
-            st_lastp[:, :] = jnp.zeros((1, P), jnp.float32)
-
-        # skip sentinel chunks and fully early-stopped tiles (sticky `done`
-        # covers every pixel) — the state, and therefore the out slot, is
-        # already final
-        @pl.when((t < T_total) & (jnp.min(st_done[:, :]) < 0.5))
-        def _():
-            sl = pl.ds(j * SCHUNK, SCHUNK)
-            bx = ((t % nx) * tilesize).astype(jnp.float32)
-            by = ((t // nx) * tilesize).astype(jnp.float32)
-            alpha, _, _, _ = _stream_chunk_alpha(ablk_ref, sl, bx, by, pixb, tri_ref)
-            l = jnp.log1p(-alpha)  # [C, P]
-            # inclusive prefix over entries (sublanes): S[c] = sum_{c'<=c} l[c']
-            S = jax.lax.dot_general(
-                tri_ref[:], l, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            logT = st_logT[:, :]  # [1, P]
-            done = st_done[:, :]
-            logT_after = logT + S
-            inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done)
-            T_before = jnp.exp(logT_after - l)
-            w = alpha * T_before * inc  # [C, P]
-            attrs8 = ablk_ref[ROW_R : ROW_R + 8, sl]  # [8, C]
-            st_acc[:, :] = st_acc[:, :] + jax.lax.dot_general(
-                attrs8, w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            st_logT[:, :] = logT + jnp.sum(l * inc, axis=0, keepdims=True)
-            st_done[:, :] = jnp.maximum(
-                done, jnp.where(logT_after[SCHUNK - 1 : SCHUNK, :] < LOG_T_EPS, 1.0, 0.0)
-            )
-            pos1 = (
-                k_in * SCHUNK
-                + jax.lax.broadcasted_iota(jnp.int32, (SCHUNK, 1), 0) + 1
-            ).astype(jnp.float32)  # [C, 1]
-            st_lastp[:, :] = jnp.maximum(
-                st_lastp[:, :],
-                jnp.max(pos1 * jnp.where(alpha > 0.0, inc, 0.0), axis=0, keepdims=True),
-            )
+        sl = pl.ds(j * SCHUNK, SCHUNK)
+        tt = jnp.minimum(t, T_total - 1)  # sentinel chunks hit sentinel rows
+        bx = ((tt % nx) * tilesize).astype(jnp.float32)
+        by = ((tt // nx) * tilesize).astype(jnp.float32)
+        alpha, _, _, _ = _stream_chunk_alpha(ablk_ref, sl, bx, by, pixb, tri_ref)
+        l = jnp.log1p(-alpha)  # [C, P]
+        # inclusive prefix over entries (sublanes): S[c] = sum_{c'<=c} l[c']
+        S = _prefix_sublanes(l, tri_ref[:])
+        logT_after = logT + S
+        inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done)
+        T_before = jnp.exp(logT_after - l)
+        w = alpha * T_before * inc  # [C, P]
+        attrs8 = ablk_ref[ROW_R : ROW_R + 8, sl]  # [8, C]
+        st_acc[:, :] = acc_in + jax.lax.dot_general(
+            attrs8, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        st_logT[:, :] = logT + jnp.sum(l * inc, axis=0, keepdims=True)
+        st_done[:, :] = jnp.maximum(
+            done, jnp.where(logT_after[SCHUNK - 1 : SCHUNK, :] < LOG_T_EPS, 1.0, 0.0)
+        )
+        pos1 = (
+            k_in * SCHUNK
+            + jax.lax.broadcasted_iota(jnp.int32, (SCHUNK, 1), 0) + 1
+        ).astype(jnp.float32)  # [C, 1]
+        st_lastp[:, :] = jnp.maximum(
+            lastp_in,
+            jnp.max(pos1 * jnp.where(alpha > 0.0, inc, 0.0), axis=0, keepdims=True),
+        )
 
         out_ref[j, 0:8, :] = st_acc[:, :]
         out_ref[j, OUT_LOGT : OUT_LOGT + 1, :] = st_logT[:, :]
@@ -1131,28 +1182,27 @@ def _stream_bwd_kernel(
     P = tilesize * tilesize
     i = pl.program_id(0)  # step; the block is grid-1-i (reverse walk)
     pixb = pixb_ref[:]
+    # BRANCHLESS (see _stream_fwd_kernel): resets via 0/1 keep flags,
+    # sentinel/past-last-contributor chunks compute exact zeros through the
+    # inc mask and sentinel attribute rows instead of skipping.
     for j in reversed(range(CPB)):
         c = (grid - 1 - i) * CPB + j
         t = tile_c_ref[c]
         k_in = k_c_ref[c]
-
-        # entering a tile (reverse order): its LAST chunk
-        @pl.when(tile_c_ref[c + 1] != t)
-        def _():
-            st_sL[:, :] = jnp.zeros((1, P), jnp.float32)
-            st_sA[:, :] = jnp.zeros((1, P), jnp.float32)
+        # entering a tile (reverse order): its LAST chunk resets the carry —
+        # by SELECTION, not multiplication (uninitialized scratch * 0 == NaN)
+        entry = tile_c_ref[c + 1] != t
+        suffL = jnp.where(entry, 0.0, st_sL[:, :])
+        suffA = jnp.where(entry, 0.0, st_sA[:, :])
 
         last_pos = fblk_ref[j, OUT_LASTP : OUT_LASTP + 1, :]  # [1, P]
-        max_last = jnp.max(last_pos)
         dsl = pl.ds(j * SCHUNK, SCHUNK)
-        # chunks with every entry past the last contributor carry zero grads
-        active = (t < T_total) & ((k_in * SCHUNK).astype(jnp.float32) < max_last)
 
-        @pl.when(active)
-        def _():
+        if True:
             sl = pl.ds(j * SCHUNK, SCHUNK)
-            bx = ((t % nx) * tilesize).astype(jnp.float32)
-            by = ((t // nx) * tilesize).astype(jnp.float32)
+            tt = jnp.minimum(t, T_total - 1)
+            bx = ((tt % nx) * tilesize).astype(jnp.float32)
+            by = ((tt // nx) * tilesize).astype(jnp.float32)
             alpha, alpha_pre, live, power = _stream_chunk_alpha(
                 ablk_ref, sl, bx, by, pixb, tri_ref
             )
@@ -1167,11 +1217,8 @@ def _stream_bwd_kernel(
             alpha = alpha * inc
             l = jnp.log1p(-alpha)
             # suffix-inclusive over entries: S_rev[c] = sum_{c'>=c} l[c']
-            S_rev = jax.lax.dot_general(
-                tri_ref[:], l, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            logT_after = logT_fin - (st_sL[:, :] + S_rev - l)
+            S_rev = _suffix_sublanes(l, tri_ref[:])
+            logT_after = logT_fin - (suffL + S_rev - l)
             T_before = jnp.exp(logT_after - l)
             w = alpha * T_before
             attrs8 = ablk_ref[ROW_R : ROW_R + 8, sl]  # [8, C]
@@ -1180,11 +1227,8 @@ def _stream_bwd_kernel(
                 preferred_element_type=jnp.float32,
             )  # [C, P]
             gww = g_w * w
-            A_rev = jax.lax.dot_general(
-                tri_ref[:], gww, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            A = st_sA[:, :] + (A_rev - gww)  # strict suffix over j > i
+            A_rev = _suffix_sublanes(gww, tri_ref[:])
+            A = suffA + (A_rev - gww)  # strict suffix over j > i
             d_alpha = (g_w * T_before - (A + g_logT) / (1.0 - alpha)) * inc
             # CUDA convention: the 0.99 cap is ignored in the backward;
             # op * G == alpha_pre (uncapped)
@@ -1217,23 +1261,26 @@ def _stream_bwd_kernel(
             r_dxdy = mxc * myc * S0 - mxc * Sy - myc * Sx + Sxy
             d_op_col = jnp.where(opc > 0.0, S0 / opc, 0.0)
 
-            dblk_ref[dsl, ROW_MX : ROW_MX + 1] = -(cac * r_dx + cbc * r_dy)
-            dblk_ref[dsl, ROW_MY : ROW_MY + 1] = -(ccc * r_dy + cbc * r_dx)
-            dblk_ref[dsl, ROW_CA : ROW_CA + 1] = -0.5 * r_dxdx
-            dblk_ref[dsl, ROW_CB : ROW_CB + 1] = -r_dxdy
-            dblk_ref[dsl, ROW_CC : ROW_CC + 1] = -0.5 * r_dydy
-            dblk_ref[dsl, ROW_OP : ROW_OP + 1] = d_op_col
-            dblk_ref[dsl, ROW_R : ROW_R + 8] = d_attrsT
-            dblk_ref[dsl, ROW_R + 8 : NUM_ROWS] = jnp.zeros(
-                (SCHUNK, NUM_ROWS - ROW_R - 8), jnp.float32
-            )
+            # ONE full-width [SCHUNK, NUM_ROWS] store: narrow lane-sliced
+            # column writes each lower to masked read-modify-write blends of
+            # the whole vreg row — 8 of them per chunk dominated the
+            # backward kernel; a lane concat + single store does not
+            dgeo = jnp.concatenate(
+                [
+                    -(cac * r_dx + cbc * r_dy),
+                    -(ccc * r_dy + cbc * r_dx),
+                    -0.5 * r_dxdx,
+                    -r_dxdy,
+                    -0.5 * r_dydy,
+                    d_op_col,
+                ],
+                axis=1,
+            )  # [C, 6] (ROW_MX..ROW_OP)
+            zeros2 = jnp.zeros((SCHUNK, NUM_ROWS - ROW_R - 8), jnp.float32)
+            dblk_ref[dsl, :] = jnp.concatenate([dgeo, d_attrsT, zeros2], axis=1)
 
-            st_sL[:, :] = st_sL[:, :] + jnp.sum(l, axis=0, keepdims=True)
-            st_sA[:, :] = st_sA[:, :] + jnp.sum(gww, axis=0, keepdims=True)
-
-        @pl.when(jnp.logical_not(active))
-        def _():
-            dblk_ref[dsl, :] = jnp.zeros((SCHUNK, NUM_ROWS), jnp.float32)
+            st_sL[:, :] = suffL + jnp.sum(l, axis=0, keepdims=True)
+            st_sA[:, :] = suffA + jnp.sum(gww, axis=0, keepdims=True)
 
 
 def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, ny, tilesize):
@@ -1246,7 +1293,7 @@ def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, ny, tilesize):
         num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((SCHUNK, SCHUNK), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, SUB), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NUM_ROWS, CPB * SCHUNK), lambda i, tc, kc: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -1263,7 +1310,7 @@ def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, ny, tilesize):
         out_shape=jax.ShapeDtypeStruct((nbc, 8, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(tile_of_chunk, k_of_chunk, _tri_matrix(SCHUNK), _pix_basis(tilesize, P), attrsT)
+    )(tile_of_chunk, k_of_chunk, _tri_matrix(SUB), _pix_basis(tilesize, P), attrsT)
 
 
 def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, gchunks, fchunks, nx, ny, tilesize):
@@ -1276,7 +1323,7 @@ def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, gchunks, fchunks, nx, ny
         num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((SCHUNK, SCHUNK), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, SUB), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NUM_ROWS, CPB * SCHUNK), lambda i, tc, kc: (0, grid - 1 - i), memory_space=pltpu.VMEM),
             pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (grid - 1 - i, 0, 0), memory_space=pltpu.VMEM),
@@ -1293,7 +1340,7 @@ def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, gchunks, fchunks, nx, ny
         out_shape=jax.ShapeDtypeStruct((Lpad, NUM_ROWS), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(tile_of_chunk, k_of_chunk, _tri_matrix(SCHUNK), _pix_basis(tilesize, P), attrsT, gchunks, fchunks)
+    )(tile_of_chunk, k_of_chunk, _tri_matrix(SUB), _pix_basis(tilesize, P), attrsT, gchunks, fchunks)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
