@@ -58,7 +58,7 @@ NUM_ROWS = 16  # 10 used + 6 pad; multiple of the f32 sublane tile (8) so
 # [NUM_ROWS, C] DMA slices of the flat attribute array stay layout-aligned
 
 # columns of the output layout [T, P, 8]
-OUT_R, OUT_G, OUT_B, OUT_D, OUT_LOGT, OUT_LASTP = 0, 1, 2, 3, 4, 5
+OUT_R, OUT_G, OUT_B, OUT_D, OUT_LOGT, OUT_LASTP, OUT_DONE = 0, 1, 2, 3, 4, 5, 6
 
 
 def _pix_coords(tile_id, nx: int, tilesize: int, P: int):
@@ -430,14 +430,18 @@ def rasterize(
 
     if flat:
         out8 = stream_gather_composite(attrs, bins, nx, ny, tile)  # [T, 8, P]
-        img8 = (
-            out8.reshape(ny, nx, 8, tile, tile)
+        # assemble only the 5 rows the image needs (r, g, b, d, logT):
+        # rows 5-7 are kernel bookkeeping and would ride the two transpose
+        # copies for nothing (37% of the assembly bytes, fwd AND bwd)
+        img5 = (
+            out8[:, 0 : OUT_LOGT + 1]
+            .reshape(ny, nx, OUT_LOGT + 1, tile, tile)
             .transpose(2, 0, 3, 1, 4)
-            .reshape(8, ny * tile, nx * tile)[:, :height, :width]
+            .reshape(OUT_LOGT + 1, ny * tile, nx * tile)[:, :height, :width]
         )  # channels-first directly — no final transpose
-        acc_rgb = img8[OUT_R : OUT_B + 1]  # [3, H, W]
-        acc_d = img8[OUT_D]
-        T_fin = jnp.exp(img8[OUT_LOGT])
+        acc_rgb = img5[OUT_R : OUT_B + 1]  # [3, H, W]
+        acc_d = img5[OUT_D]
+        T_fin = jnp.exp(img5[OUT_LOGT])
         color_out = acc_rgb + T_fin[None] * bg_color[:, None, None]
         return color_out, acc_d[None], (1.0 - T_fin)[None], bins.overflow
 
@@ -1103,7 +1107,7 @@ def _stream_chunk_alpha(ablk_ref, sl, bx, by, pixb, tri_ref):
     alpha = jnp.minimum(ALPHA_MAX, alpha_pre)
     live = jnp.where((power <= POWER_EPS) & (alpha >= ALPHA_MIN), 1.0, 0.0)
     alpha = alpha * live
-    return alpha, alpha_pre, live, power
+    return alpha, alpha_pre, live, power, (mx, my, ca, cb, cc, op)
 
 
 def _stream_fwd_kernel(
@@ -1111,7 +1115,7 @@ def _stream_fwd_kernel(
     tile_c_ref, k_c_ref,
     tri_ref, pixb_ref, ablk_ref,
     out_ref,
-    st_acc, st_logT, st_done, st_lastp,
+    st_acc, st_logT, st_done,
 ):
     P = tilesize * tilesize
     i = pl.program_id(0)
@@ -1135,13 +1139,12 @@ def _stream_fwd_kernel(
         logT = jnp.where(head, 0.0, st_logT[:, :])  # [1, P]
         done = jnp.where(head, 0.0, st_done[:, :])
         acc_in = jnp.where(head, 0.0, st_acc[:, :])
-        lastp_in = jnp.where(head, 0.0, st_lastp[:, :])
 
         sl = pl.ds(j * SCHUNK, SCHUNK)
         tt = jnp.minimum(t, T_total - 1)  # sentinel chunks hit sentinel rows
         bx = ((tt % nx) * tilesize).astype(jnp.float32)
         by = ((tt // nx) * tilesize).astype(jnp.float32)
-        alpha, _, _, _ = _stream_chunk_alpha(ablk_ref, sl, bx, by, pixb, tri_ref)
+        alpha, *_ = _stream_chunk_alpha(ablk_ref, sl, bx, by, pixb, tri_ref)
         l = jnp.log1p(-alpha)  # [C, P]
         # inclusive prefix over entries (sublanes): S[c] = sum_{c'<=c} l[c']
         S = _prefix_sublanes(l, tri_ref[:])
@@ -1158,129 +1161,131 @@ def _stream_fwd_kernel(
         st_done[:, :] = jnp.maximum(
             done, jnp.where(logT_after[SCHUNK - 1 : SCHUNK, :] < LOG_T_EPS, 1.0, 0.0)
         )
-        pos1 = (
-            k_in * SCHUNK
-            + jax.lax.broadcasted_iota(jnp.int32, (SCHUNK, 1), 0) + 1
-        ).astype(jnp.float32)  # [C, 1]
-        st_lastp[:, :] = jnp.maximum(
-            lastp_in,
-            jnp.max(pos1 * jnp.where(alpha > 0.0, inc, 0.0), axis=0, keepdims=True),
-        )
-
+        # (last-contributor tracking removed: the carry-free backward
+        # replays inclusion from the saved (logT, done) state instead)
         out_ref[j, 0:8, :] = st_acc[:, :]
         out_ref[j, OUT_LOGT : OUT_LOGT + 1, :] = st_logT[:, :]
-        out_ref[j, OUT_LASTP : OUT_LASTP + 1, :] = st_lastp[:, :]
+        out_ref[j, OUT_DONE : OUT_DONE + 1, :] = st_done[:, :]
 
 
 def _stream_bwd_kernel(
     nx: int, tilesize: int, T_total: int, grid: int,
     tile_c_ref, k_c_ref,
-    tri_ref, pixb_ref, ablk_ref, gblk_ref, fblk_ref,
+    tri_ref, pixb_ref, ablk_ref, outblk_ref, prevblk_ref, gblk_ref,
+    totblk_ref,
     dblk_ref,
-    st_sL, st_sA,
 ):
+    """CARRY-FREE backward: every chunk is independent.
+
+    The forward stream saves its running state (acc, logT, done) to HBM at
+    EVERY chunk slot, so chunk c's entry state is chunk c-1's saved state
+    (zeros at a segment head). The strict-suffix sums the gradient needs,
+    A_i = sum_{j>i} g_w_j w_j, become
+
+        A_i = total_tile - (g . acc_entry + in-chunk inclusive prefix_i)
+
+    where total_tile = g . acc_final is per-tile (precomputed in XLA and
+    chunk-gathered). With no cross-chunk carries the unrolled chunk bodies
+    have no sequential dependency at all, so Mosaic can overlap adjacent
+    chunks' matmul/VPU chains — the old reverse-walk formulation serialized
+    on its suffixL/suffixA scratch carries. Inclusion needs no
+    last-contributor bookkeeping either: inc replays the forward's exact
+    test from the saved (logT, done) entry state."""
     P = tilesize * tilesize
-    i = pl.program_id(0)  # step; the block is grid-1-i (reverse walk)
+    i = pl.program_id(0)
     pixb = pixb_ref[:]
-    # BRANCHLESS (see _stream_fwd_kernel): resets via 0/1 keep flags,
-    # sentinel/past-last-contributor chunks compute exact zeros through the
-    # inc mask and sentinel attribute rows instead of skipping.
-    for j in reversed(range(CPB)):
-        c = (grid - 1 - i) * CPB + j
+    for j in range(CPB):
+        c = i * CPB + j
         t = tile_c_ref[c]
         k_in = k_c_ref[c]
-        # entering a tile (reverse order): its LAST chunk resets the carry —
-        # by SELECTION, not multiplication (uninitialized scratch * 0 == NaN)
-        entry = tile_c_ref[c + 1] != t
-        suffL = jnp.where(entry, 0.0, st_sL[:, :])
-        suffA = jnp.where(entry, 0.0, st_sA[:, :])
+        # entry state: previous chunk's saved forward state; zeros at a
+        # segment head (selection, not multiplication: the j==0 read of the
+        # neighbor block is junk for head chunks)
+        head = k_in == 0
+        prev = outblk_ref[j - 1] if j > 0 else prevblk_ref[CPB - 1]  # [8, P]
+        logT_e = jnp.where(head, 0.0, prev[OUT_LOGT : OUT_LOGT + 1, :])
+        done_e = jnp.where(head, 0.0, prev[OUT_DONE : OUT_DONE + 1, :])
+        accdot = jnp.where(
+            head, 0.0, jnp.sum(gblk_ref[j, 0:4, :] * prev[0:4, :], axis=0, keepdims=True)
+        )  # [1, P] inclusive-prefix of gww through chunk c-1
 
-        last_pos = fblk_ref[j, OUT_LASTP : OUT_LASTP + 1, :]  # [1, P]
-        dsl = pl.ds(j * SCHUNK, SCHUNK)
+        sl = pl.ds(j * SCHUNK, SCHUNK)
+        dsl = sl
 
         if True:
-            sl = pl.ds(j * SCHUNK, SCHUNK)
             tt = jnp.minimum(t, T_total - 1)
             bx = ((tt % nx) * tilesize).astype(jnp.float32)
             by = ((tt // nx) * tilesize).astype(jnp.float32)
-            alpha, alpha_pre, live, power = _stream_chunk_alpha(
+            alpha, alpha_pre, live, power, geo_rows = _stream_chunk_alpha(
                 ablk_ref, sl, bx, by, pixb, tri_ref
             )
-            logT_fin = fblk_ref[j, OUT_LOGT : OUT_LOGT + 1, :]  # [1, P]
             g8 = gblk_ref[j]  # [8, P]
             g_logT = gblk_ref[j, OUT_LOGT : OUT_LOGT + 1, :]
-            pos1 = (
-                k_in * SCHUNK
-                + jax.lax.broadcasted_iota(jnp.int32, (SCHUNK, 1), 0) + 1
-            ).astype(jnp.float32)
-            inc = live * jnp.where(pos1 <= last_pos, 1.0, 0.0)  # [C, P]
-            alpha = alpha * inc
+            total = totblk_ref[j]  # [1, P] per-tile sum of gww
             l = jnp.log1p(-alpha)
-            # suffix-inclusive over entries: S_rev[c] = sum_{c'>=c} l[c']
-            S_rev = _suffix_sublanes(l, tri_ref[:])
-            logT_after = logT_fin - (suffL + S_rev - l)
+            # replay the forward's exact inclusion test (unmasked in-chunk
+            # prefix + entry logT/done)
+            S = _prefix_sublanes(l, tri_ref[:])
+            logT_after = logT_e + S
+            inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done_e)
             T_before = jnp.exp(logT_after - l)
-            w = alpha * T_before
+            w = alpha * T_before * inc
             attrs8 = ablk_ref[ROW_R : ROW_R + 8, sl]  # [8, C]
             g_w = jax.lax.dot_general(
                 attrs8, g8, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [C, P]
-            gww = g_w * w
-            A_rev = _suffix_sublanes(gww, tri_ref[:])
-            A = suffA + (A_rev - gww)  # strict suffix over j > i
-            d_alpha = (g_w * T_before - (A + g_logT) / (1.0 - alpha)) * inc
+            gww = g_w * w  # w carries inc
+            prefA = accdot + _prefix_sublanes(gww, tri_ref[:])  # inclusive
+            A = total - prefA  # strict suffix over j > i
+            # live masks d_alpha: dead entries (alpha < 1/255 or power > 0)
+            # have alpha == 0 but alpha_pre != 0, and would otherwise leak
+            # gradient through d_power = d_alpha * alpha_pre
+            d_alpha = (g_w * T_before - (A + g_logT) / (1.0 - alpha)) * (inc * live)
             # CUDA convention: the 0.99 cap is ignored in the backward;
             # op * G == alpha_pre (uncapped)
             d_power = d_alpha * alpha_pre
-            # d_attrs, transposed into the dT column layout directly
-            d_attrsT = jax.lax.dot_general(
-                w, g8, (((1,), (1,)), ((), ())),
+            # EVERYTHING below stays in ROW space ([k, C]: entries on lanes).
+            # The previous column-space tail ([C, 1] slices of a transposed
+            # geo block + a [C, NUM_ROWS] store) ran every op at 1/128 lane
+            # utilization and needed an in-kernel [8, C] -> [C, 8] transpose
+            # (0.55 us/chunk); rows are 1 vreg each and the per-entry
+            # attribute rows come straight off the attrs stream.
+            d_attrs_rows = jax.lax.dot_general(
+                g8, w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [C, 8]
-            # per-entry pixel sums via the quadratic basis: M[c, b] =
-            # sum_p d_power[c, p] * pixb[p, b]
-            M = jax.lax.dot_general(
-                d_power, pixb, (((1,), (0,)), ((), ())),
+            )  # [8, C]
+            # per-entry pixel sums via the quadratic basis:
+            # MT[b, c] = sum_p pixb[p, b] * d_power[c, p]
+            MT = jax.lax.dot_general(
+                pixb, d_power, (((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [C, _NQ]
-            S0, Sx, Sy = M[:, 0:1], M[:, 1:2], M[:, 2:3]
-            Sxx, Sxy, Syy = M[:, 3:4], M[:, 4:5], M[:, 5:6]
-            # per-entry attribute rows as [C, 1] columns: one small transpose
-            geoT = jnp.swapaxes(ablk_ref[0:8, sl], 0, 1)  # [C, 8]
-            mxc = geoT[:, ROW_MX : ROW_MX + 1] - bx
-            myc = geoT[:, ROW_MY : ROW_MY + 1] - by
-            cac = geoT[:, ROW_CA : ROW_CA + 1]
-            cbc = geoT[:, ROW_CB : ROW_CB + 1]
-            ccc = geoT[:, ROW_CC : ROW_CC + 1]
-            opc = geoT[:, ROW_OP : ROW_OP + 1]
-            r_dx = mxc * S0 - Sx
-            r_dy = myc * S0 - Sy
-            r_dxdx = mxc * mxc * S0 - 2.0 * mxc * Sx + Sxx
-            r_dydy = myc * myc * S0 - 2.0 * myc * Sy + Syy
-            r_dxdy = mxc * myc * S0 - mxc * Sy - myc * Sx + Sxy
-            d_op_col = jnp.where(opc > 0.0, S0 / opc, 0.0)
+            )  # [_NQ, C]
+            S0, Sx, Sy = MT[0:1], MT[1:2], MT[2:3]
+            Sxx, Sxy, Syy = MT[3:4], MT[4:5], MT[5:6]
+            mx, my, ca, cb, cc, op = geo_rows  # [1, C] tile-local rows
+            r_dx = mx * S0 - Sx
+            r_dy = my * S0 - Sy
+            r_dxdx = mx * mx * S0 - 2.0 * mx * Sx + Sxx
+            r_dydy = my * my * S0 - 2.0 * my * Sy + Syy
+            r_dxdy = mx * my * S0 - mx * Sy - my * Sx + Sxy
+            d_op_row = jnp.where(op > 0.0, S0 / op, 0.0)
 
-            # ONE full-width [SCHUNK, NUM_ROWS] store: narrow lane-sliced
-            # column writes each lower to masked read-modify-write blends of
-            # the whole vreg row — 8 of them per chunk dominated the
-            # backward kernel; a lane concat + single store does not
             dgeo = jnp.concatenate(
                 [
-                    -(cac * r_dx + cbc * r_dy),
-                    -(ccc * r_dy + cbc * r_dx),
+                    -(ca * r_dx + cb * r_dy),
+                    -(cc * r_dy + cb * r_dx),
                     -0.5 * r_dxdx,
                     -r_dxdy,
                     -0.5 * r_dydy,
-                    d_op_col,
+                    d_op_row,
                 ],
-                axis=1,
-            )  # [C, 6] (ROW_MX..ROW_OP)
-            zeros2 = jnp.zeros((SCHUNK, NUM_ROWS - ROW_R - 8), jnp.float32)
-            dblk_ref[dsl, :] = jnp.concatenate([dgeo, d_attrsT, zeros2], axis=1)
-
-            st_sL[:, :] = suffL + jnp.sum(l, axis=0, keepdims=True)
-            st_sA[:, :] = suffA + jnp.sum(gww, axis=0, keepdims=True)
+                axis=0,
+            )  # [6, C] (ROW_MX..ROW_OP)
+            zeros2 = jnp.zeros((NUM_ROWS - ROW_R - 8, SCHUNK), jnp.float32)
+            # dT is born [NUM_ROWS, L_pad] (row-major); ONE XLA transpose
+            # before the routing gather replaces 8192 in-kernel transposes
+            dblk_ref[:, dsl] = jnp.concatenate([dgeo, d_attrs_rows, zeros2], axis=0)
 
 
 def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, ny, tilesize):
@@ -1302,7 +1307,6 @@ def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, ny, tilesize):
             pltpu.VMEM((8, P), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
-            pltpu.VMEM((1, P), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -1313,7 +1317,7 @@ def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, ny, tilesize):
     )(tile_of_chunk, k_of_chunk, _tri_matrix(SUB), _pix_basis(tilesize, P), attrsT)
 
 
-def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, gchunks, fchunks, nx, ny, tilesize):
+def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, totchunks, nx, ny, tilesize):
     R, Lpad = attrsT.shape
     nbc = Lpad // SCHUNK
     grid = Lpad // (CPB * SCHUNK)
@@ -1325,22 +1329,23 @@ def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, gchunks, fchunks, nx, ny
         in_specs=[
             pl.BlockSpec((SUB, SUB), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NUM_ROWS, CPB * SCHUNK), lambda i, tc, kc: (0, grid - 1 - i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (grid - 1 - i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (grid - 1 - i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_ROWS, CPB * SCHUNK), lambda i, tc, kc: (0, i), memory_space=pltpu.VMEM),
+            # forward's per-chunk saved state, and the same array one block
+            # back (the j==0 chunk's entry state; block 0 clamps — its first
+            # chunk is always a segment head and never reads it)
+            pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (jnp.maximum(i - 1, 0), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CPB, 1, P), lambda i, tc, kc: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((CPB * SCHUNK, NUM_ROWS), lambda i, tc, kc: (grid - 1 - i, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((1, P), jnp.float32),
-            pltpu.VMEM((1, P), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((NUM_ROWS, CPB * SCHUNK), lambda i, tc, kc: (0, i), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         functools.partial(_stream_bwd_kernel, nx, tilesize, T_total, grid),
-        out_shape=jax.ShapeDtypeStruct((Lpad, NUM_ROWS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NUM_ROWS, Lpad), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(tile_of_chunk, k_of_chunk, _tri_matrix(SUB), _pix_basis(tilesize, P), attrsT, gchunks, fchunks)
+    )(tile_of_chunk, k_of_chunk, _tri_matrix(SUB), _pix_basis(tilesize, P), attrsT, out_chunks, out_chunks, gchunks, totchunks)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -1356,7 +1361,8 @@ def stream_gather_composite(attrs, bins, nx, ny, tilesize):
 def _stream_gather_fwd(attrs, bins, nx, ny, tilesize):
     # barriers: see _flat_gather_fwd (fused gather+transpose serializes)
     aligned_attrs = attrs[jax.lax.optimization_barrier(bins.orig_idx_aligned)]
-    attrsT = jax.lax.optimization_barrier(aligned_attrs).T  # [R, L_pad]
+    aligned_attrs = jax.lax.optimization_barrier(aligned_attrs)
+    attrsT = aligned_attrs.T  # [R, L_pad]
     out_chunks = _stream_fwd_impl(
         attrsT, bins.tile_of_chunk, bins.k_of_chunk, nx, ny, tilesize
     )  # [nbc, 8, P]
@@ -1367,43 +1373,46 @@ def _stream_gather_fwd(attrs, bins, nx, ny, tilesize):
     last_chunk = bins.aligned_starts[1 : T_full + 1] // SCHUNK - 1
     out = out_chunks[jnp.clip(last_chunk, 0, nbc - 1)]
     out = out * (bins.counts > 0)[:, None, None].astype(out.dtype)
-    return out, (attrsT, bins, out, attrs.shape[0])
+    return out, (attrsT, bins, out, out_chunks, attrs.shape[0])
 
 
 def _stream_gather_bwd(nx, ny, tilesize, res, gout):
-    attrsT, bins, fout, n_attr = res
+    attrsT, bins, fout, out_chunks, n_attr = res
     L = bins.orig_idx_sorted.shape[0]
     R_USED = ROW_D + 1
     nbc = attrsT.shape[1] // SCHUNK
     T_full = nx * ny
     tile_c = jnp.clip(bins.tile_of_chunk[:nbc], 0, T_full - 1)
-    # chunk-gather the per-tile cotangents and forward state so the kernel
+    # chunk-gather the per-tile cotangents and gww totals so the kernel
     # reads them on the same auto-pipeline as the attribute stream ([T]-row
     # gathers of 8 KB rows); barriers keep the gathers unfused from their
     # producer chains (fused gathers serialize)
-    tile_c, gout, fout = jax.lax.optimization_barrier((tile_c, gout, fout))
+    tot_tile = jnp.sum(gout[:, 0:4, :] * fout[:, 0:4, :], axis=1, keepdims=True)
+    tile_c, gout, tot_tile = jax.lax.optimization_barrier((tile_c, gout, tot_tile))
     gchunks = gout[tile_c]
-    fchunks = fout[tile_c]
+    totchunks = tot_tile[tile_c]
     dT = _stream_bwd_impl(
-        attrsT, bins.tile_of_chunk, bins.k_of_chunk, gchunks, fchunks,
-        nx, ny, tilesize,
-    )  # [L_pad, NUM_ROWS] — already entry-major: no transpose needed
-    # barrier: keep the row slice and the routing gather as separate
-    # vectorized ops (a gather fused with its producer slice serializes to a
-    # scalar-load loop; see _flat_gather_bwd)
-    d_aligned = jax.lax.optimization_barrier(dT[:, :R_USED])
+        attrsT, bins.tile_of_chunk, bins.k_of_chunk, out_chunks,
+        gchunks, totchunks, nx, ny, tilesize,
+    )  # [NUM_ROWS, L_pad] row-major (the kernel's row-space store)
+    # ONE XLA transpose to entry-major for the routing gather (replaces
+    # 8192 in-kernel [8, C] transposes); barrier keeps the transpose and the
+    # gather as separate vectorized ops (fused they serialize; see
+    # _flat_gather_bwd)
+    d_aligned = jax.lax.optimization_barrier(dT[:R_USED].T)
     d_presort = d_aligned[bins.aligned_pos_of_presort]
     e = jnp.arange(L, dtype=jnp.int32)
     d_presort = d_presort * (e < bins.total_entries)[:, None]
     csum = jax.lax.optimization_barrier(jnp.cumsum(d_presort, axis=0))
-    seg_end = jnp.clip(bins.seg_offsets + bins.seg_counts - 1, 0, L - 1)
-    end_vals = csum[seg_end]
-    start_prev = jnp.where(
-        (bins.seg_offsets > 0)[:, None],
-        csum[jnp.clip(bins.seg_offsets - 1, 0, L - 1)],
-        0.0,
+    # ONE boundary gather instead of two: segments are contiguous in depth
+    # rank, so the previous segment's end value is just the SHIFTED end-value
+    # row (empty segments read their predecessor's end and difference to 0)
+    seg_last = bins.seg_offsets + bins.seg_counts - 1  # [N] inclusive end
+    end_vals = csum[jnp.clip(seg_last, 0, L - 1)] * (seg_last >= 0)[:, None]
+    start_prev = jnp.concatenate(
+        [jnp.zeros((1, end_vals.shape[1]), end_vals.dtype), end_vals[:-1]], axis=0
     )
-    sums_rank = jnp.where((bins.seg_counts > 0)[:, None], end_vals - start_prev, 0.0)
+    sums_rank = end_vals - start_prev
     d_attrs = jax.lax.optimization_barrier(sums_rank)[bins.inv_order]
     d_attrs = jnp.concatenate(
         [d_attrs, jnp.zeros((d_attrs.shape[0], NUM_ROWS - R_USED), d_attrs.dtype)],
