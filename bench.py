@@ -28,13 +28,23 @@ def main(dense: bool = False):
 
     if dense:
         # BASELINE config 5 scale ("-r 1" dense protocol): 4K-class
-        # resolution, N >= 500k primitives. Splat sizes keep total entries
-        # inside the default 2M budget with zero truncation.
+        # resolution, N >= 500k primitives. The 4K tile grid (240x135) pads
+        # every non-empty tile's segment to a 128-entry chunk, so the
+        # aligned stream needs a budget above the 4N default — sized here
+        # exactly as the training overflow guard would regrow it.
+        # Measured workload: 5.58M tile entries, 6.39M aligned slots
+        # (32.4k tiles pad to 128-entry chunks; true aligned need 7.41M). Budgets sized as the
+        # training overflow guard would regrow them: entries + ~13%,
+        # aligned + ~15%, both multiples of the 2048-slot stream block.
         W, H = 3840, 2160
         N = 500_000
+        entry_budget = 6_291_456
+        aligned_budget = 7_602_176
     else:
         W, H = 1920, 1080
         N = 100_000
+        entry_budget = None
+        aligned_budget = None
     rng = np.random.default_rng(0)
     means = np.stack(
         [rng.uniform(-3, 3, N), rng.uniform(-2, 2, N), rng.uniform(2, 10, N)], -1
@@ -57,6 +67,7 @@ def main(dense: bool = False):
             out = render(
                 cam, a[0], a[1], jnp.zeros(3), scales=a[2], rotations=a[3],
                 shs=a[4], active_sh_degree=3, backend="tpu",
+                entry_budget=entry_budget, aligned_budget=aligned_budget,
             )
             return (
                 jnp.sum(out.render**2)
@@ -75,6 +86,7 @@ def main(dense: bool = False):
         out = render(
             cam, a[0], a[1], jnp.zeros(3), scales=a[2], rotations=a[3],
             shs=a[4], active_sh_degree=3, backend="tpu",
+            entry_budget=entry_budget, aligned_budget=aligned_budget,
         )
         return out.overflow
 

@@ -52,6 +52,7 @@ def render(
     tile: int = oracle_mod.TILE,
     max_per_tile: int = 1024,
     entry_budget: Optional[int] = None,
+    aligned_budget: Optional[int] = None,
     flat: bool = True,
 ) -> RenderOutput:
     """Render one view. `backend` is "tpu" (Pallas kernels) or "oracle"."""
@@ -86,6 +87,7 @@ def render(
             tile=tile,
             max_per_tile=max_per_tile,
             entry_budget=entry_budget,
+            aligned_budget=aligned_budget,
             flat=flat,
         )
     else:

@@ -107,6 +107,7 @@ def bin_gaussians(
     tile: int,
     entry_budget: int,
     chunk: int = 128,
+    aligned_budget: int | None = None,
 ) -> TileBins:
     nx = (width + tile - 1) // tile
     ny = (height + tile - 1) // tile
@@ -222,7 +223,10 @@ def bin_gaussians(
     # the v2 flat kernels' manual DMA windows, 32 (== tile_raster.SCHUNK)
     # for the v3 stream kernels (less intra-tile padding; the entry axis
     # rides fp32 SUBLANES there, whose tile is 8).
-    L_pad = aligned_entry_budget(L, chunk)
+    if aligned_budget is None:
+        aligned_budget = aligned_entry_budget(L, chunk)
+    assert aligned_budget % (16 * chunk) == 0, "aligned_budget must divide stream blocks"
+    L_pad = aligned_budget
     nb = L_pad // chunk
     aligned_cnt = ((counts + chunk - 1) // chunk) * chunk
     aligned_starts = jnp.concatenate(

@@ -402,6 +402,7 @@ def rasterize(
     tile: int = 16,
     max_per_tile: int = 1024,
     entry_budget: int | None = None,
+    aligned_budget: int | None = None,
     flat: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full tile pipeline: bin (XLA) -> gather -> Pallas composite -> assemble.
@@ -422,6 +423,7 @@ def rasterize(
     bins = bin_gaussians(
         proj, width, height, tile, entry_budget,
         chunk=SCHUNK if flat else CHUNK,
+        aligned_budget=aligned_budget,
     )
     nx = (width + tile - 1) // tile
     ny = (height + tile - 1) // tile
