@@ -149,3 +149,52 @@ def test_overflow_truncation_is_bounded():
         backend="tpu",
     )
     assert np.isfinite(np.asarray(out.render)).all()
+
+
+def test_gradient_parity_deep_tile_cross_block():
+    """A tile deeper than CPB * SCHUNK entries spans a stream-BLOCK boundary,
+    exercising the carry-free backward's neighbor-block entry-state read
+    (tile_raster._stream_bwd_impl's shifted second out_chunks spec). Small
+    opacities keep thousands of splats contributing (no early-stop), so
+    gradients flow through every chunk of the deep tile."""
+    from scgaussian_tpu.renderer.tile_raster import CPB, SCHUNK
+
+    cam = make_camera(16, 16)  # single 16x16 tile
+    n = CPB * SCHUNK + 3 * SCHUNK  # 19 chunks: crosses the 16-chunk block
+    rng = np.random.default_rng(21)
+    means = np.stack(
+        [rng.uniform(-0.15, 0.15, n), rng.uniform(-0.15, 0.15, n), rng.uniform(2, 8, n)],
+        axis=-1,
+    ).astype(np.float32)
+    scales = np.full((n, 3), 0.08, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    opac = np.full((n,), 0.004 + 1.0 / 255.0, np.float32)  # tiny, all alive
+    shs = np.zeros((n, 16, 3), np.float32)
+    shs[:, 0] = rng.uniform(-0.5, 0.5, (n, 3))
+    args = tuple(
+        jnp.asarray(x) for x in (means, scales, quats, opac, shs)
+    )
+    bg = jnp.zeros(3)
+
+    def loss(backend, means, scales, quats, opac, shs):
+        out = render(
+            cam, means, opac, bg, scales=scales, rotations=quats, shs=shs,
+            active_sh_degree=0, backend=backend,
+        )
+        return (
+            jnp.sum(out.render**2)
+            + 0.1 * jnp.sum(out.rendered_depth**2)
+            + 0.1 * jnp.sum(out.rendered_alpha)
+        )
+
+    l_o = float(loss("oracle", *args))
+    l_t = float(loss("tpu", *args))
+    assert abs(l_o - l_t) < 1e-3 * max(1.0, abs(l_o))
+
+    g_o = jax.grad(lambda *a: loss("oracle", *a), argnums=(0, 3))(*args)
+    g_t = jax.grad(lambda *a: loss("tpu", *a), argnums=(0, 3))(*args)
+    for name, a, b in zip(["means", "opac"], g_o, g_t):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            b, a, atol=1e-3 * (np.abs(a).max() + 1e-8), err_msg=name
+        )
