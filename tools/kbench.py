@@ -95,7 +95,7 @@ def main():
 
     base = bench(chain(lambda a: a, lambda e, a: (a + e,)), attrsT)  # chain overhead
     tf = bench(runf, attrsT)
-    tb = bench(runb, attrsT, out_chunks, gchunks, totchunks)
+    tb = 0.0 if '--fwd-only' in __import__('sys').argv else bench(runb, attrsT, out_chunks, gchunks, totchunks)
     print(
         f"fwd: {tf - base:.2f} ms   bwd: {tb - base:.2f} ms   "
         f"(chain overhead {base:.2f}; nbc={nbc}, chunks/tile={chunks_per_tile})"

@@ -34,8 +34,10 @@ def build(dense: bool, fwd_only: bool):
 
     if dense:
         W, H, N = 3840, 2160, 500_000
+        budgets = {"entry_budget": 6_291_456, "aligned_budget": 7_602_176}
     else:
         W, H, N = 1920, 1080, 100_000
+        budgets = {}
     rng = np.random.default_rng(0)
     means = np.stack(
         [rng.uniform(-3, 3, N), rng.uniform(-2, 2, N), rng.uniform(2, 10, N)], -1
@@ -50,7 +52,7 @@ def build(dense: bool, fwd_only: bool):
     def loss(*a):
         out = render(
             cam, a[0], a[1], jnp.zeros(3), scales=a[2], rotations=a[3],
-            shs=a[4], active_sh_degree=3, backend="tpu",
+            shs=a[4], active_sh_degree=3, backend="tpu", **budgets,
         )
         return (
             jnp.sum(out.render**2)
