@@ -1004,21 +1004,25 @@ flat_gather_composite.defvjp(_flat_gather_fwd, _flat_gather_bwd)
 # sum of log(1-alpha) is the same triangular MXU matmul as v1/v2, contracted
 # on the ENTRY (sublane) axis.
 #
-# The backward walks the stream in REVERSE (grid index maps run the blocks
-# back-to-front) with the same single-pass suffix-sum formulation as v2;
-# gout/fout arrive CHUNK-GATHERED ([nbc, 8, P], one XLA row-gather) so they
-# ride the same auto-pipeline, and the gradient stream dT is born
-# [L_pad, NUM_ROWS] (entries on sublanes) — exactly the layout the routing
-# gather wants, killing the [NUM_ROWS, L_pad] -> [L_pad, R] transpose.
+# The backward is CARRY-FREE: the forward saves its running state (acc,
+# logT, done) at EVERY chunk slot, so each backward chunk reads its entry
+# state from the previous chunk's saved slot (a shifted second BlockSpec on
+# the same array) and reconstructs the strict suffix sums as
+# total_tile - (g . acc_entry + in-chunk prefix). No cross-chunk carries,
+# no last-contributor bookkeeping — chunks are fully independent and Mosaic
+# can overlap their matmul/VPU chains. gout and the per-tile gww totals
+# arrive CHUNK-GATHERED ([nbc, *, P] XLA row-gathers of 1-8 KB rows) so
+# they ride the same auto-pipeline; the gradient tail runs in ROW space
+# ([k, C] rows, entries on lanes) and dT is born [NUM_ROWS, L_pad], with
+# one XLA transpose feeding the routing gather.
 # --------------------------------------------------------------------------
 
 SCHUNK = 128  # stream-kernel chunk (entries per prefix-sum block).
-# MEASURED NEGATIVE RESULT (round 2): SCHUNK=32 — motivated by ~2.4x
-# intra-tile padding at 1080p (tiles average ~50 entries) and a 4x cheaper
-# triangular prefix matmul — made the forward 2.6x SLOWER (30 ms vs 11.7 ms
-# at 1080p/N=100k). Per-chunk cost is OVERHEAD-BOUND (state read/write,
-# @pl.when control flow, latency of the 5 dependent small matmuls), not
-# cell-count-bound, so 4x more chunks loses despite 2x fewer total cells.
+# MEASURED NEGATIVE RESULTS: SCHUNK=32 made the forward 2.6x slower and
+# SCHUNK=64 +120%/+50% (at CPB 16/32) EVEN AT EQUAL CELL COUNT — per-chunk
+# and per-grid-step overheads dominate under 128, so the ~2.4x intra-tile
+# padding at 1080p (tiles average ~50 entries) stays. SCHUNK=64 also trips
+# a Mosaic limitation (sublane concat of pieces with lane offsets 0 vs 64).
 # Keep 128; the code stays parameterized for future hardware.
 CPB = 16  # chunks per stream block (one grid step)
 SUB = 32  # sub-chunk width of the hierarchical prefix/suffix (fp32 sublane
@@ -1041,24 +1045,6 @@ def _prefix_sublanes(x, tri32):
         )  # [SUB, P] inclusive within the group
         pieces.append(sg if carry is None else sg + carry)
         tot = sg[SUB - 1 : SUB, :]
-        carry = tot if carry is None else carry + tot
-    return jnp.concatenate(pieces, axis=0)
-
-
-def _suffix_sublanes(x, tri32):
-    """Suffix-inclusive sum of x [SCHUNK, P] along SUBLANES (mirror of
-    _prefix_sublanes; used by the reverse-walk backward)."""
-    nsub = SCHUNK // SUB
-    pieces = [None] * nsub
-    carry = None
-    for g in reversed(range(nsub)):
-        xg = x[g * SUB : (g + 1) * SUB, :]
-        sg = jax.lax.dot_general(
-            tri32, xg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [SUB, P] suffix-inclusive within the group
-        pieces[g] = sg if carry is None else sg + carry
-        tot = sg[0:1, :]
         carry = tot if carry is None else carry + tot
     return jnp.concatenate(pieces, axis=0)
 
