@@ -100,6 +100,36 @@ def aligned_entry_budget(entry_budget: int, chunk: int = 128) -> int:
     return max(2 * entry_budget, floor)
 
 
+def _tile_starts(tile_sorted: jnp.ndarray, num_tiles: int) -> jnp.ndarray:
+    """searchsorted(tile_sorted, arange(T + 1), side='left') without the
+    while loop: XLA's binary search runs log2(L) serialized rounds of
+    [T]-query gathers (2.3 ms at L=512k, 10 ms at L=6.3M). Instead, sample
+    every 64th key twice (two levels), locate each query's 64-wide window
+    with tiny searches, then ROW-GATHER the window (64-element rows from the
+    reshaped key array — the cheap gather direction on TPU) and count
+    keys < query inside it. The window rows are 64-aligned by construction
+    so the reshape view is exact."""
+    S = 64
+    L = tile_sorted.shape[0]
+    if L % (S * S) != 0 or L < S * S:
+        return jnp.searchsorted(
+            tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+    tq = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    ns = L // S
+    samples = tile_sorted[::S]  # [ns]
+    samples2 = samples[::S]  # [ns // S]
+    # level 2: first sample2 index with key >= t. samples2 is tiny, so the
+    # log2(ns/S) searchsorted rounds cost microseconds.
+    c2 = jnp.searchsorted(samples2, tq).astype(jnp.int32)
+    w2 = jnp.maximum(c2 - 1, 0)
+    rows2 = samples.reshape(ns // S, S)[w2]  # [T + 1, S] row gather
+    c1 = w2 * S + jnp.sum(rows2 < tq[:, None], axis=1).astype(jnp.int32)
+    w1 = jnp.maximum(c1 - 1, 0)
+    rows1 = tile_sorted.reshape(ns, S)[w1]  # [T + 1, S] row gather
+    return (w1 * S + jnp.sum(rows1 < tq[:, None], axis=1)).astype(jnp.int32)
+
+
 def bin_gaussians(
     proj: ProjectedGaussians,
     width: int,
@@ -206,10 +236,9 @@ def bin_gaussians(
             (tile_e, orig_e, e), num_keys=1, is_stable=True
         )
 
-    starts = jnp.searchsorted(
-        jax.lax.optimization_barrier(tile_sorted),
-        jnp.arange(num_tiles + 1, dtype=jnp.int32),
-    ).astype(jnp.int32)
+    starts = _tile_starts(
+        jax.lax.optimization_barrier(tile_sorted), num_tiles
+    )
     counts = starts[1:] - starts[:-1]
 
     # --- segment-aligned relayout (see module docstring, step 5) ---
