@@ -198,3 +198,27 @@ def test_gradient_parity_deep_tile_cross_block():
         np.testing.assert_allclose(
             b, a, atol=1e-3 * (np.abs(a).max() + 1e-8), err_msg=name
         )
+
+
+def test_tile_starts_matches_searchsorted():
+    """The two-level sampled search (binning._tile_starts) is exactly
+    searchsorted(keys, arange(T + 1), side='left') on sorted keys."""
+    from scgaussian_tpu.renderer.binning import _tile_starts
+
+    rng = np.random.default_rng(3)
+    for L, T in [(4096, 13), (524288, 8161), (16384, 1), (8192, 8192)]:
+        keys = np.sort(rng.integers(0, T + 1, L)).astype(np.int32)
+        ref = np.searchsorted(keys, np.arange(T + 1), side="left")
+        got = np.asarray(_tile_starts(jnp.asarray(keys), T))
+        np.testing.assert_array_equal(got, ref)
+    # all-sentinel and non-power-of-two (fallback path)
+    keys = np.full((524288,), 77, np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(_tile_starts(jnp.asarray(keys), 77)),
+        np.searchsorted(keys, np.arange(78), side="left"),
+    )
+    keys = np.sort(rng.integers(0, 10, 1000)).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(_tile_starts(jnp.asarray(keys), 9)),
+        np.searchsorted(keys, np.arange(10), side="left"),
+    )
