@@ -43,8 +43,16 @@ def main(dense: bool = False):
     else:
         W, H = 1920, 1080
         N = 100_000
-        entry_budget = None
-        aligned_budget = None
+        # Measured workload after the exact-equivalence extents cull
+        # (project.py ext): 380,073 tile entries (the CUDA square rect
+        # would emit 435,840), aligned need exactly 8160 tiles x 128 =
+        # 1,044,480 slots. Budgets sized as the training overflow guard
+        # would regrow them: entries + ~10%, aligned + one stream block,
+        # both multiples of the 2048-slot stream block (and the entry
+        # budget a multiple of 4096 for the two-level tile-starts search).
+        # overflow == 0 is asserted below — every emitted entry composites.
+        entry_budget = 417_792
+        aligned_budget = 1_046_528
     rng = np.random.default_rng(0)
     means = np.stack(
         [rng.uniform(-3, 3, N), rng.uniform(-2, 2, N), rng.uniform(2, 10, N)], -1

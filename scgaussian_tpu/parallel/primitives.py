@@ -85,6 +85,7 @@ def render_sharded(
             opacity=ag(proj_local.opacity),
             radius=ag(proj_local.radius),
             valid=ag(proj_local.valid),
+            ext=ag(proj_local.ext),
         )
 
         # --- binning replicated (index computation), composite on the local

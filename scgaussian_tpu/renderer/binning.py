@@ -119,9 +119,11 @@ def _tile_starts(tile_sorted: jnp.ndarray, num_tiles: int) -> jnp.ndarray:
     ns = L // S
     samples = tile_sorted[::S]  # [ns]
     samples2 = samples[::S]  # [ns // S]
-    # level 2: first sample2 index with key >= t. samples2 is tiny, so the
-    # log2(ns/S) searchsorted rounds cost microseconds.
-    c2 = jnp.searchsorted(samples2, tq).astype(jnp.int32)
+    # level 2: first sample2 index with key >= t, as ONE dense [T+1, ns/S]
+    # comparison + row reduce. jnp.searchsorted here lowers to log2(ns/S)
+    # serialized rounds of [T+1]-element gathers (~65 us each = 1 ms/step at
+    # 1080p); the dense compare is a single ~1M-element VPU fusion (~15 us).
+    c2 = jnp.sum(samples2[None, :] < tq[:, None], axis=1).astype(jnp.int32)
     w2 = jnp.maximum(c2 - 1, 0)
     rows2 = samples.reshape(ns // S, S)[w2]  # [T + 1, S] row gather
     c1 = w2 * S + jnp.sum(rows2 < tq[:, None], axis=1).astype(jnp.int32)
@@ -154,14 +156,24 @@ def bin_gaussians(
     # gathers fused into their producer (the sort) or consumer chains lower
     # to serialized scalar loops on TPU (see module docstring).
     packed_mr = jnp.concatenate(
-        [mean2d, proj.radius.astype(jnp.float32)[:, None]], axis=1
+        [
+            mean2d,
+            proj.radius.astype(jnp.float32)[:, None],
+            jax.lax.stop_gradient(proj.ext).astype(jnp.float32),
+        ],
+        axis=1,
     )
     packed_mr, order_b = jax.lax.optimization_barrier((packed_mr, order))
     packed_s = jax.lax.optimization_barrier(packed_mr[order_b])
     mean2d_s = packed_s[:, :2]
     radius_s = packed_s[:, 2].astype(jnp.int32)
+    ext_s = packed_s[:, 3:5].astype(jnp.int32)
 
-    rect_min, rect_max = tile_rect(mean2d_s, radius_s, width, height, tile)
+    # per-axis exact-equivalence extents (project.ProjectedGaussians.ext)
+    # instead of the CUDA square: never-larger rect, identical output
+    rect_min, rect_max = tile_rect(
+        mean2d_s, ext_s[:, 0], width, height, tile, radius_y=ext_s[:, 1]
+    )
     cov_w = rect_max[:, 0] - rect_min[:, 0]
     cov = cov_w * (rect_max[:, 1] - rect_min[:, 1])  # [N] tiles covered
     # CUDA emits duplicates only for radii > 0 (the rect of a culled
@@ -320,7 +332,12 @@ def bin_gaussians(
     # drop). Measured alternatives at 1080p: vmapped dynamic_slice lowers to
     # a sequential while loop (6.4 ms), element gathers cost ~7 ns/elem
     # (6.4-7.5 ms, and the flattened variant poisons the downstream attrs
-    # row-gather's layout 1.9 -> 14.9 ms); the scatter-set is ~1 ms.
+    # row-gather's layout 1.9 -> 14.9 ms), whole-window lax.gathers of
+    # [chunk, R] slices lower to a sequential while of dynamic-slices
+    # (21 ms), and a two-stage sorted-gather + computed-index row gather
+    # lets layout assignment push the transpose INTO the gather (column-
+    # major writes, 4.7 ms); the scatter-set is ~1.9 ms and the direct
+    # [L_pad]-row gather + separate transpose copy stay on the fast path.
     dest = jnp.where(
         (e < total) & (tile_sorted < num_tiles), e + delta_sorted, L_pad
     )

@@ -909,18 +909,32 @@ def flat_gather_composite(attrs, bins, starts_slice, counts_slice, tile_ids, nx,
     return out
 
 
-def _flat_gather_fwd(attrs, bins, starts_slice, counts_slice, tile_ids, nx, ny, tilesize):
-    # segment-aligned layout: ONE [L_pad]-row gather puts every tile's
-    # entries at CHUNK-aligned exclusive slots (pad slots hit the zero
-    # sentinel row of attrs); starts_slice must be bins.aligned_starts.
-    #
-    # optimization_barrier: XLA fuses gathers with adjacent transposes /
-    # producer chains into serialized scalar-load loops (measured 4.6 ms for
-    # this line fused vs 0.06 ms split); the barriers force the gather and
-    # the transpose to run as separate, vectorized ops.
+def _aligned_attrsT(attrs, bins, chunk):
+    """Segment-aligned [R, L_pad] attribute stream for the Pallas kernels.
+
+    ONE [L_pad]-row gather (attrs by the scatter-set aligned index; pad
+    slots hit the zero sentinel row of attrs) plus a separate transpose
+    copy. Measured negative alternatives at 1080p: whole-window lax.gathers
+    lower to a sequential while loop of dynamic-slices (21 ms), and a
+    two-stage sorted-gather + computed-index row gather lets XLA layout
+    assignment push the transpose INTO the gather (column-major writes,
+    4.7 ms vs 1.9 + 0.8 here).
+
+    optimization_barrier: XLA fuses gathers with adjacent transposes /
+    producer chains into serialized scalar-load loops (measured 4.6 ms for
+    one such line fused vs 0.06 ms split); the barriers keep the gather
+    and the transpose separate, vectorized ops.
+    """
+    del chunk
     aligned_attrs = attrs[jax.lax.optimization_barrier(bins.orig_idx_aligned)]
     aligned_attrs = jax.lax.optimization_barrier(aligned_attrs)
-    attrsT = aligned_attrs.T  # [R, L_pad]
+    return aligned_attrs.T  # [R, L_pad]
+
+
+def _flat_gather_fwd(attrs, bins, starts_slice, counts_slice, tile_ids, nx, ny, tilesize):
+    # segment-aligned layout (see _aligned_attrsT); starts_slice must be
+    # bins.aligned_starts.
+    attrsT = _aligned_attrsT(attrs, bins, CHUNK)
     out = _flat_fwd_impl(
         attrsT, counts_slice, starts_slice, tile_ids, nx, ny, tilesize
     )
@@ -1190,7 +1204,7 @@ def _stream_bwd_kernel(
         # segment head (selection, not multiplication: the j==0 read of the
         # neighbor block is junk for head chunks)
         head = k_in == 0
-        prev = outblk_ref[j - 1] if j > 0 else prevblk_ref[CPB - 1]  # [8, P]
+        prev = outblk_ref[j - 1] if j > 0 else prevblk_ref[0]  # [8, P]
         logT_e = jnp.where(head, 0.0, prev[OUT_LOGT : OUT_LOGT + 1, :])
         done_e = jnp.where(head, 0.0, prev[OUT_DONE : OUT_DONE + 1, :])
         accdot = jnp.where(
@@ -1318,11 +1332,14 @@ def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, tot
             pl.BlockSpec((SUB, SUB), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NUM_ROWS, CPB * SCHUNK), lambda i, tc, kc: (0, i), memory_space=pltpu.VMEM),
-            # forward's per-chunk saved state, and the same array one block
-            # back (the j==0 chunk's entry state; block 0 clamps — its first
-            # chunk is always a segment head and never reads it)
+            # forward's per-chunk saved state, and ONE chunk of the same
+            # array — the previous block's LAST chunk (the j==0 chunk's entry
+            # state; block 0 clamps — its first chunk is always a segment
+            # head and never reads it). A (1, 8, P) block: reading the whole
+            # previous (CPB, 8, P) block for one row cost 64 MB/step of
+            # extra HBM reads at 1080p.
             pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (jnp.maximum(i - 1, 0), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P), lambda i, tc, kc: (jnp.maximum(i * CPB - 1, 0), 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((CPB, 1, P), lambda i, tc, kc: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -1347,10 +1364,7 @@ def stream_gather_composite(attrs, bins, nx, ny, tilesize):
 
 
 def _stream_gather_fwd(attrs, bins, nx, ny, tilesize):
-    # barriers: see _flat_gather_fwd (fused gather+transpose serializes)
-    aligned_attrs = attrs[jax.lax.optimization_barrier(bins.orig_idx_aligned)]
-    aligned_attrs = jax.lax.optimization_barrier(aligned_attrs)
-    attrsT = aligned_attrs.T  # [R, L_pad]
+    attrsT = _aligned_attrsT(attrs, bins, SCHUNK)  # [R, L_pad]
     out_chunks = _stream_fwd_impl(
         attrsT, bins.tile_of_chunk, bins.k_of_chunk, nx, ny, tilesize
     )  # [nbc, 8, P]

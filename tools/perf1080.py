@@ -37,7 +37,7 @@ def build(dense: bool, fwd_only: bool):
         budgets = {"entry_budget": 6_291_456, "aligned_budget": 7_602_176}
     else:
         W, H, N = 1920, 1080, 100_000
-        budgets = {}
+        budgets = {"entry_budget": 417_792, "aligned_budget": 1_046_528}
     rng = np.random.default_rng(0)
     means = np.stack(
         [rng.uniform(-3, 3, N), rng.uniform(-2, 2, N), rng.uniform(2, 10, N)], -1
