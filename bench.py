@@ -17,6 +17,48 @@ import time
 import numpy as np
 
 BASELINE_RAYS_PER_S = 3.1e8  # see module docstring
+PTILE = 32  # processing tile (semantic CUDA tile stays 16; see
+# renderer/binning.bin_gaussians — measured fastest at both 1080p and 4K)
+
+
+def probe_budgets(cam, arrays, W, H, ptile):
+    """Dry-run the binning with generous budgets and return tight,
+    stream-block-aligned (entry, aligned) budgets for this exact workload —
+    ~10% slack so fp/compiler drift can't flip the overflow assert, never
+    hardcoded constants (they broke loudly-but-spuriously before)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scgaussian_tpu.renderer import binning as binning_mod
+    from scgaussian_tpu.renderer import project as project_mod
+    from scgaussian_tpu.renderer.tile_raster import SCHUNK
+
+    means, opac, scales, quats, shs = arrays
+
+    @jax.jit
+    def f():
+        proj = project_mod.project(
+            cam, means, opac, scales=scales, rotations=quats, shs=shs,
+            active_sh_degree=3,
+        )
+        bins = binning_mod.bin_gaussians(
+            proj, W, H, 16, 1 << 23, chunk=SCHUNK,
+            aligned_budget=1 << 24, ptile=ptile,
+        )
+        aligned = jnp.sum(((bins.counts + SCHUNK - 1) // SCHUNK) * SCHUNK)
+        return bins.total_entries, aligned
+
+    total, aligned = (int(x) for x in f())
+    blk = 16 * SCHUNK
+
+    def rnd(x):
+        return ((int(x * 1.10) + blk - 1) // blk) * blk
+
+    eb = max(rnd(total), 2 * blk)
+    # entry budget must be a 4096-multiple for the two-level tile-starts
+    eb = ((eb + 4095) // 4096) * 4096
+    ab = max(rnd(aligned), 2 * blk)
+    return {"entry_budget": eb, "aligned_budget": ab}
 
 
 def main(dense: bool = False):
@@ -28,40 +70,20 @@ def main(dense: bool = False):
 
     if dense:
         # BASELINE config 5 scale ("-r 1" dense protocol): 4K-class
-        # resolution, N >= 500k primitives. The 4K tile grid (240x135) pads
-        # every non-empty tile's segment to a 128-entry chunk, so the
-        # aligned stream needs a budget above the 4N default — sized here
-        # exactly as the training overflow guard would regrow it.
-        # Measured workload: 5.58M tile entries, 6.39M aligned slots
-        # (32.4k tiles pad to 128-entry chunks; true aligned need 7.41M). Budgets sized as the
-        # training overflow guard would regrow them: entries + ~13%,
-        # aligned + ~15%, both multiples of the 2048-slot stream block.
+        # resolution, N >= 500k primitives.
         W, H = 3840, 2160
         N = 500_000
-        entry_budget = 6_291_456
-        aligned_budget = 7_602_176
     else:
         W, H = 1920, 1080
         N = 100_000
-        # Measured workload after the exact-equivalence extents cull
-        # (project.py ext): 380,073 tile entries (the CUDA square rect
-        # would emit 435,840), aligned need exactly 8160 tiles x 128 =
-        # 1,044,480 slots. Budgets sized as the training overflow guard
-        # would regrow them: entries + ~10%, aligned + one stream block,
-        # both multiples of the 2048-slot stream block (and the entry
-        # budget a multiple of 4096 for the two-level tile-starts search).
-        # overflow == 0 is asserted below — every emitted entry composites.
-        entry_budget = 417_792
-        aligned_budget = 1_046_528
     rng = np.random.default_rng(0)
     means = np.stack(
         [rng.uniform(-3, 3, N), rng.uniform(-2, 2, N), rng.uniform(2, 10, N)], -1
     ).astype(np.float32)
-    # Splat sizes chosen so the full workload fits the default entry budget
-    # with zero truncation (436k tile entries at 1080p, verified
-    # overflow == 0): every emitted entry is composited, matching CUDA's
-    # unbudgeted semantics. (The previous U(-5,-3) scene emitted 1.54M
-    # entries and silently truncated half of them.)
+    # Splat sizes chosen so the workload is realistic and fully composited:
+    # budgets are probed from the actual entry counts below and overflow == 0
+    # is asserted — every emitted entry composites, matching CUDA's
+    # unbudgeted semantics.
     scales = np.exp(rng.uniform(-5.5, -4.0, (N, 3))).astype(np.float32)
     quats = rng.normal(size=(N, 4)).astype(np.float32)
     opac = rng.uniform(0.2, 0.9, N).astype(np.float32)
@@ -69,13 +91,16 @@ def main(dense: bool = False):
     shs[:, 0] = rng.uniform(-1, 1, (N, 3))
     cam = Camera.create(np.eye(3), np.zeros(3), 0.9, 0.6, W, H)
 
+    args = tuple(jnp.asarray(x) for x in (means, opac, scales, quats, shs))
+    budgets = probe_budgets(cam, args, W, H, PTILE)
+
     @jax.jit
     def fwdbwd(*args):
         def loss(*a):
             out = render(
                 cam, a[0], a[1], jnp.zeros(3), scales=a[2], rotations=a[3],
-                shs=a[4], active_sh_degree=3, backend="tpu",
-                entry_budget=entry_budget, aligned_budget=aligned_budget,
+                shs=a[4], active_sh_degree=3, backend="tpu", ptile=PTILE,
+                **budgets,
             )
             return (
                 jnp.sum(out.render**2)
@@ -90,16 +115,14 @@ def main(dense: bool = False):
         # device at the dense config)
         return l + sum(jnp.sum(g) for g in grads)
 
-    args = tuple(jnp.asarray(x) for x in (means, opac, scales, quats, shs))
-
     # truncation audit: the timed workload must composite every emitted tile
     # entry (CUDA's unbudgeted semantics) or the throughput number is fake
     @jax.jit
     def overflow_check(*a):
         out = render(
             cam, a[0], a[1], jnp.zeros(3), scales=a[2], rotations=a[3],
-            shs=a[4], active_sh_degree=3, backend="tpu",
-            entry_budget=entry_budget, aligned_budget=aligned_budget,
+            shs=a[4], active_sh_degree=3, backend="tpu", ptile=PTILE,
+            **budgets,
         )
         return out.overflow
 

@@ -72,6 +72,19 @@ class RasterizerConfig:
     # step ever reports truncated entries, so rendering is never silently
     # truncated (reference semantics are unbudgeted).
     entry_budget: Optional[int] = None
+    # Processing-tile width for the stream kernels (semantic CUDA semantics
+    # stay at `tile`; see renderer/binning.bin_gaussians). 0 = auto: 2*tile
+    # when the semantic grid fits the packed-rect range (images <= 4096 px),
+    # else `tile`. Measured ~10-50% faster fwd+bwd than tile at 1080p-4K.
+    ptile: int = 0
+
+    def resolved_ptile(self, width: int, height: int) -> int:
+        if self.ptile:
+            return self.ptile
+        fits = (width + self.tile - 1) // self.tile <= 256 and (
+            height + self.tile - 1
+        ) // self.tile <= 256
+        return 2 * self.tile if fits else self.tile
 
 
 @dataclasses.dataclass(frozen=True)

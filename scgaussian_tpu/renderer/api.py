@@ -54,6 +54,7 @@ def render(
     entry_budget: Optional[int] = None,
     aligned_budget: Optional[int] = None,
     flat: bool = True,
+    ptile: Optional[int] = None,
 ) -> RenderOutput:
     """Render one view. `backend` is "tpu" (Pallas kernels) or "oracle"."""
     proj = project_mod.project(
@@ -89,6 +90,7 @@ def render(
             entry_budget=entry_budget,
             aligned_budget=aligned_budget,
             flat=flat,
+            ptile=ptile,
         )
     else:
         raise ValueError(f"unknown backend: {backend!r}")

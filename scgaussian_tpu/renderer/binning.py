@@ -71,15 +71,17 @@ class TileBins:
     # segment (0 == segment head); 1 on sentinel chunks (never a head)
 
 
-def default_entry_budget(n: int) -> int:
-    """Default tile-entry budget for N primitives: next power of two >= 4N
-    (>= 16k). Power-of-two sizes keep the [L] sorts and cumsums on their
-    fastest path, and 4N covers typical 3DGS tile coverage (~3-5 tiles per
-    visible Gaussian). Training auto-regrows on overflow (the guard in
-    train/pipeline.py), so a tight default costs at most one recompile
-    instead of silently truncating — the reference CUDA pipeline sizes this
-    buffer exactly per frame and never truncates."""
-    want = max(4 * n, 1 << 14)
+def default_entry_budget(n: int, ptile_factor: int = 1) -> int:
+    """Default tile-entry budget for N primitives: next power of two >=
+    4N / ptile_factor (>= 16k). Power-of-two sizes keep the [L] sorts and
+    cumsums on their fastest path; 4N covers typical 3DGS coverage (~3-5
+    16px tiles per visible Gaussian), and a coarser processing tile
+    (ptile_factor = ptile // tile) covers proportionally fewer (measured
+    ~0.5x per doubling at 1080p/4K). Training auto-regrows on overflow (the
+    guard in train/pipeline.py), so a tight default costs at most one
+    recompile instead of silently truncating — the reference CUDA pipeline
+    sizes this buffer exactly per frame and never truncates."""
+    want = max(4 * n // max(ptile_factor, 1), 1 << 14)
     return 1 << (want - 1).bit_length()
 
 
@@ -140,9 +142,23 @@ def bin_gaussians(
     entry_budget: int,
     chunk: int = 128,
     aligned_budget: int | None = None,
+    ptile: int | None = None,
 ) -> TileBins:
-    nx = (width + tile - 1) // tile
-    ny = (height + tile - 1) // tile
+    """Bin Gaussians into (processing-)tile entry ranges.
+
+    `tile` is the SEMANTIC tile (the CUDA 16x16 grid that defines rect
+    membership); `ptile` (default == tile) is the PROCESSING tile the
+    entries/kernels operate on. A coarser ptile (e.g. 32) shrinks the entry
+    count ~2-3x — every [L]-scale sort/gather/scatter here scales down with
+    it — while the compositing kernels recover exact semantic-tile CUDA
+    semantics from the per-Gaussian rect rows in the attribute stream
+    (tile_raster ROW_RECTX/ROW_RECTY)."""
+    if ptile is None:
+        ptile = tile
+    assert ptile % tile == 0 and (ptile // tile).bit_count() == 1
+    fshift = (ptile // tile).bit_length() - 1
+    nx = (width + ptile - 1) // ptile
+    ny = (height + ptile - 1) // ptile
     num_tiles = nx * ny
     n = proj.depth.shape[0]
     L = entry_budget
@@ -174,6 +190,18 @@ def bin_gaussians(
     rect_min, rect_max = tile_rect(
         mean2d_s, ext_s[:, 0], width, height, tile, radius_y=ext_s[:, 1]
     )
+    if fshift:
+        # map the semantic-tile rect onto the coarser processing grid
+        # (floor/ceil division via shifts — vector integer division has no
+        # TPU hardware path). An axis that is EMPTY on the semantic grid
+        # (fully clipped off-screen) must stay empty: the ceil of max would
+        # otherwise fabricate one covered ptile when min == max is odd.
+        empty = (rect_max[:, 0] <= rect_min[:, 0]) | (
+            rect_max[:, 1] <= rect_min[:, 1]
+        )
+        rect_min = rect_min >> fshift
+        rect_max = (rect_max + ((1 << fshift) - 1)) >> fshift
+        rect_max = jnp.where(empty[:, None], rect_min, rect_max)
     cov_w = rect_max[:, 0] - rect_min[:, 0]
     cov = cov_w * (rect_max[:, 1] - rect_min[:, 1])  # [N] tiles covered
     # CUDA emits duplicates only for radii > 0 (the rect of a culled

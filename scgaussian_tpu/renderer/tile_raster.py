@@ -54,8 +54,13 @@ LOG_T_EPS = float(np.log(1e-4).astype(np.float32))
 # until logT/lastp are stored) — no lane-axis concatenation per tile.
 ROW_MX, ROW_MY, ROW_CA, ROW_CB, ROW_CC, ROW_OP = 0, 1, 2, 3, 4, 5
 ROW_R, ROW_G, ROW_B, ROW_D = 6, 7, 8, 9
-NUM_ROWS = 16  # 10 used + 6 pad; multiple of the f32 sublane tile (8) so
-# [NUM_ROWS, C] DMA slices of the flat attribute array stay layout-aligned
+# rows 10-13 are the zero tail of the [8]-row attrs8 matmul operand (rows
+# ROW_R..ROW_R+8) and MUST stay zero; rows 14-15 hold the packed semantic-
+# tile rect (see attrs_matrix) when the processing tile is coarser than the
+# semantic 16px CUDA tile.
+ROW_RECTX, ROW_RECTY = 14, 15
+NUM_ROWS = 16  # 10 used + 4 zero-pad + 2 rect rows; multiple of the f32
+# sublane tile (8) so [NUM_ROWS, C] DMA slices stay layout-aligned
 
 # columns of the output layout [T, P, 8]
 OUT_R, OUT_G, OUT_B, OUT_D, OUT_LOGT, OUT_LASTP, OUT_DONE = 0, 1, 2, 3, 4, 5, 6
@@ -373,10 +378,40 @@ def _gather_composite_bwd(nx, ny, tilesize, K, res, gout):
 gather_composite.defvjp(_gather_composite_fwd, _gather_composite_bwd)
 
 
-def attrs_matrix(proj) -> jnp.ndarray:
+def attrs_matrix(
+    proj,
+    width: int | None = None,
+    height: int | None = None,
+    sem_tile: int | None = None,
+) -> jnp.ndarray:
     """Dense [N + 1, NUM_ROWS] attribute matrix; the +1 row is the zero
-    sentinel for empty entry slots."""
+    sentinel for empty entry slots.
+
+    With `sem_tile` (and the image size), rows ROW_RECTX/ROW_RECTY carry the
+    Gaussian's CUDA getRect square rect on the SEMANTIC tile grid, packed as
+    `min + 256 * (max - 1)` per axis (exact small integers in fp32; grids up
+    to 256 tiles = 4096 px). The stream kernels replay the per-pixel rect
+    membership test from these rows, which makes compositing at a coarser
+    PROCESSING tile semantically identical to the oracle's 16px-tile
+    semantics (same splat set, depth order, and thresholds; fp rounding of
+    the quadratic form at the coarser tile-local origin can flip splats
+    sitting exactly on the 1/255 threshold) — including the regime where
+    the analytic `ext` is clamped to the 3-sigma radius and rect membership
+    is genuinely semantic (CUDA renderCUDA evaluates exactly the pixels
+    whose 16px tile the rect covers)."""
+    from scgaussian_tpu.renderer.project import tile_rect
+
     zeros = jnp.zeros_like(proj.depth)
+    if sem_tile is not None:
+        assert width is not None and height is not None
+        assert (width + sem_tile - 1) // sem_tile <= 256
+        assert (height + sem_tile - 1) // sem_tile <= 256
+        rmin, rmax = tile_rect(proj.mean2d, proj.radius, width, height, sem_tile)
+        rectx = (rmin[:, 0] + 256 * jnp.maximum(rmax[:, 0] - 1, 0)).astype(jnp.float32)
+        recty = (rmin[:, 1] + 256 * jnp.maximum(rmax[:, 1] - 1, 0)).astype(jnp.float32)
+    else:
+        rectx = zeros
+        recty = zeros
     cols = [
         proj.mean2d[:, 0],
         proj.mean2d[:, 1],
@@ -389,7 +424,9 @@ def attrs_matrix(proj) -> jnp.ndarray:
         proj.color[:, 2],
         proj.depth,
     ]
-    cols += [zeros] * (NUM_ROWS - len(cols))
+    cols += [zeros] * (ROW_RECTX - len(cols))
+    cols += [rectx, recty]
+    assert len(cols) == NUM_ROWS
     attrs = jnp.stack(cols, axis=1)
     return jnp.concatenate([attrs, jnp.zeros((1, NUM_ROWS), attrs.dtype)], axis=0)
 
@@ -404,6 +441,7 @@ def rasterize(
     entry_budget: int | None = None,
     aligned_budget: int | None = None,
     flat: bool = True,
+    ptile: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full tile pipeline: bin (XLA) -> gather -> Pallas composite -> assemble.
 
@@ -412,35 +450,57 @@ def rasterize(
     (0 == exact CUDA unbudgeted semantics). Gradients flow to all
     differentiable projected attributes through the scatter-free custom VJP
     of gather_composite.
+
+    `tile` is the SEMANTIC tile (CUDA's 16px rect-membership grid); `ptile`
+    (stream path only, default == tile) is the coarser PROCESSING tile —
+    entries, sorts and gathers run on the ptile grid (~2-3x fewer of them at
+    ptile 32) while the kernels replay the semantic rect test per pixel from
+    the packed rect rows, keeping the output semantically identical to
+    `tile` semantics (within fp noise at the 1/255 alpha threshold).
     """
     from scgaussian_tpu.renderer.binning import bin_gaussians, default_entry_budget
 
+    if ptile is None:
+        ptile = tile
+    assert flat or ptile == tile, "ptile != tile requires the stream path"
     n = proj.depth.shape[0]
     if entry_budget is None:
-        entry_budget = default_entry_budget(n)
+        entry_budget = default_entry_budget(n, ptile // tile)
     # the stream (flat=True) path aligns tile segments at SCHUNK granularity;
     # the v2/v1 fallbacks keep CHUNK-aligned windows for their manual DMAs
     bins = bin_gaussians(
         proj, width, height, tile, entry_budget,
         chunk=SCHUNK if flat else CHUNK,
         aligned_budget=aligned_budget,
+        ptile=ptile,
     )
-    nx = (width + tile - 1) // tile
-    ny = (height + tile - 1) // tile
+    nx = (width + ptile - 1) // ptile
+    ny = (height + ptile - 1) // ptile
 
-    attrs = attrs_matrix(proj)
+    sub = tile if ptile != tile else None
+    attrs = attrs_matrix(proj, width=width, height=height, sem_tile=sub)
 
     if flat:
-        out8 = stream_gather_composite(attrs, bins, nx, ny, tile)  # [T, 8, P]
+        out8 = stream_gather_composite(attrs, bins, nx, ny, ptile, sub)  # [T, 8, P]
         # assemble only the 5 rows the image needs (r, g, b, d, logT):
         # rows 5-7 are kernel bookkeeping and would ride the two transpose
         # copies for nothing (37% of the assembly bytes, fwd AND bwd)
-        img5 = (
-            out8[:, 0 : OUT_LOGT + 1]
-            .reshape(ny, nx, OUT_LOGT + 1, tile, tile)
-            .transpose(2, 0, 3, 1, 4)
-            .reshape(OUT_LOGT + 1, ny * tile, nx * tile)[:, :height, :width]
-        )  # channels-first directly — no final transpose
+        out5 = out8[:, 0 : OUT_LOGT + 1]
+        ch = OUT_LOGT + 1
+        if sub is None:
+            img5 = (
+                out5.reshape(ny, nx, ch, ptile, ptile)
+                .transpose(2, 0, 3, 1, 4)
+                .reshape(ch, ny * ptile, nx * ptile)[:, :height, :width]
+            )  # channels-first directly — no final transpose
+        else:
+            # sub-tile pixel order (qy, qx, sub, sub) — see _pix_basis
+            ns = ptile // sub
+            img5 = (
+                out5.reshape(ny, nx, ch, ns, ns, sub, sub)
+                .transpose(2, 0, 3, 5, 1, 4, 6)
+                .reshape(ch, ny * ptile, nx * ptile)[:, :height, :width]
+            )
         acc_rgb = img5[OUT_R : OUT_B + 1]  # [3, H, W]
         acc_d = img5[OUT_D]
         T_fin = jnp.exp(img5[OUT_LOGT])
@@ -500,10 +560,28 @@ POWER_EPS = 1e-4
 _NQ = 8  # quadratic basis rows [1, px, py, px^2, px*py, py^2, 0, 0]
 
 
-def _pix_basis(tilesize: int, P: int):
+def _pix_basis(tilesize: int, P: int, sub: int | None = None):
+    """[P, _NQ] pixel basis (columns [1, lx, ly, lx^2, lx*ly, ly^2, 0, 0];
+    lx/ly are processing-tile-local pixel coordinates).
+
+    With `sub` (semantic sub-tile mode) the PIXEL ORDER is (qy, qx, ly%sub,
+    lx%sub): each sub*sub pixel block covers exactly ONE semantic sub-tile,
+    so rect membership is a per-(entry, block) row constant the kernels
+    fold into the a0 coefficient row (_stream_block_alpha) — no extra basis
+    columns or matmul blocks. rasterize's image assembly undoes the
+    reordering with the matching reshape/transpose."""
     p = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    lx = (p % tilesize).astype(jnp.float32)
-    ly = (p // tilesize).astype(jnp.float32)
+    if sub is None:
+        lxi = p % tilesize
+        lyi = p // tilesize
+    else:
+        nsx = tilesize // sub
+        blk = p // (sub * sub)
+        ps = p % (sub * sub)
+        lxi = (blk % nsx) * sub + ps % sub
+        lyi = (blk // nsx) * sub + ps // sub
+    lx = lxi.astype(jnp.float32)
+    ly = lyi.astype(jnp.float32)
     one = jnp.ones((P, 1), jnp.float32)
     zero = jnp.zeros((P, 1), jnp.float32)
     return jnp.concatenate(
@@ -909,7 +987,7 @@ def flat_gather_composite(attrs, bins, starts_slice, counts_slice, tile_ids, nx,
     return out
 
 
-def _aligned_attrsT(attrs, bins, chunk):
+def _aligned_attrsT(attrs, bins):
     """Segment-aligned [R, L_pad] attribute stream for the Pallas kernels.
 
     ONE [L_pad]-row gather (attrs by the scatter-set aligned index; pad
@@ -925,7 +1003,6 @@ def _aligned_attrsT(attrs, bins, chunk):
     one such line fused vs 0.06 ms split); the barriers keep the gather
     and the transpose separate, vectorized ops.
     """
-    del chunk
     aligned_attrs = attrs[jax.lax.optimization_barrier(bins.orig_idx_aligned)]
     aligned_attrs = jax.lax.optimization_barrier(aligned_attrs)
     return aligned_attrs.T  # [R, L_pad]
@@ -934,7 +1011,7 @@ def _aligned_attrsT(attrs, bins, chunk):
 def _flat_gather_fwd(attrs, bins, starts_slice, counts_slice, tile_ids, nx, ny, tilesize):
     # segment-aligned layout (see _aligned_attrsT); starts_slice must be
     # bins.aligned_starts.
-    attrsT = _aligned_attrsT(attrs, bins, CHUNK)
+    attrsT = _aligned_attrsT(attrs, bins)
     out = _flat_fwd_impl(
         attrsT, counts_slice, starts_slice, tile_ids, nx, ny, tilesize
     )
@@ -1041,6 +1118,9 @@ SCHUNK = 128  # stream-kernel chunk (entries per prefix-sum block).
 CPB = 16  # chunks per stream block (one grid step)
 SUB = 32  # sub-chunk width of the hierarchical prefix/suffix (fp32 sublane
 # tile is 8, so 32-sublane slices stay layout-aligned)
+PBLK = 256  # pixel-block width: chunks evaluate pixels in [C, PBLK] blocks
+# so a 32x32 processing tile (P=1024) keeps the same per-op working set
+# (and Mosaic register pressure) as the 16x16 baseline
 
 
 def _prefix_sublanes(x, tri32):
@@ -1064,9 +1144,29 @@ def _prefix_sublanes(x, tri32):
 
 
 
-def _stream_chunk_alpha(ablk_ref, sl, bx, by, pixb, tri_ref):
-    """Transposed-layout ([C, P]) alpha/live for one chunk; returns
-    per-entry rows ([1, C]) alongside for reuse by the callers."""
+PEN_BIG = 1e9  # added to `power` for pixels outside the semantic rect: far
+# above POWER_EPS so the standard power test excludes them exactly (replaying
+# CUDA rect membership), far below fp32 overflow when summed with any real
+# quadratic-form value (|a0| < ~1e8 at 4K image scale)
+
+
+def _stream_entry_coefs(ablk_ref, sl, bx, by, sub):
+    """Per-chunk, per-entry coefficient rows for the fused quadratic-basis
+    matmul. Returns (a0, logop, tail [7, 2C]) — the a0 row is finalized per
+    pixel block by _stream_block_alpha (the semantic-rect penalty differs
+    per block when `sub` is set) — plus the unpacked rect bounds (or None)
+    and the geometry rows.
+
+    Notes on Mosaic layouts: every concat operand must share the source
+    slices' vector layout — rows reuse sliced quantities (a1/a2) rather
+    than jnp.zeros, because constants carry lane offset 0 while
+    SCHUNK-offset slices carry offset j*SCHUNK and Mosaic rejects sublane
+    concats with mismatched lane offsets. Tail rows 6-7 are annihilated by
+    pixb's zero columns 6-7.
+
+    ONE fused matmul for both quadratic forms: (power, power + log op)
+    stack on the LANE axis so a single MXU pass yields [2C, PB] — one
+    dependent-matmul latency chain per block instead of two."""
     mx = ablk_ref[ROW_MX : ROW_MX + 1, sl] - bx  # [1, C] tile-local
     my = ablk_ref[ROW_MY : ROW_MY + 1, sl] - by
     ca = ablk_ref[ROW_CA : ROW_CA + 1, sl]
@@ -1077,51 +1177,72 @@ def _stream_chunk_alpha(ablk_ref, sl, bx, by, pixb, tri_ref):
     a2 = cc * my + cb * mx
     a0 = -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my
     logop = jnp.log(op)  # -inf on the zero sentinel row => alpha == 0
-    # rows 6-7 are annihilated by the ZERO columns 6-7 of pixb, so they can
-    # hold any value; reusing sliced rows (instead of jnp.zeros) keeps every
-    # concat operand on the SAME Mosaic vector layout — constants carry lane
-    # offset 0 while SCHUNK-offset slices carry offset j*SCHUNK, and Mosaic
-    # rejects sublane concats with mismatched lane offsets.
-    # ONE fused matmul for both quadratic forms: coef and coefb share all
-    # rows except row 0 (a0 vs a0 + log(op)), stacked on the LANE axis so a
-    # single MXU pass yields [2C, P] — halves the dependent-matmul latency
-    # chain per chunk vs two separate dots.
-    coef2 = jnp.concatenate(
-        [
-            jnp.concatenate([a0, a0 + logop], axis=1),
-            jnp.concatenate([a1, a1], axis=1),
-            jnp.concatenate([a2, a2], axis=1),
-            jnp.concatenate([-0.5 * ca, -0.5 * ca], axis=1),
-            jnp.concatenate([-cb, -cb], axis=1),
-            jnp.concatenate([-0.5 * cc, -0.5 * cc], axis=1),
-            jnp.concatenate([a1, a1], axis=1),
-            jnp.concatenate([a2, a2], axis=1),
-        ],
-        axis=0,
-    )  # [_NQ, 2C] (rows 6-7 annihilated by pixb's zero columns)
-    power2 = jax.lax.dot_general(
-        coef2, pixb, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [2C, P]
+    rows = [
+        [a1, a1],
+        [a2, a2],
+        [-0.5 * ca, -0.5 * ca],
+        [-cb, -cb],
+        [-0.5 * cc, -0.5 * cc],
+        [a1, a1],  # annihilated by pixb's zero columns 6-7
+        [a2, a2],
+    ]
+    tail = jnp.concatenate(
+        [jnp.concatenate(r, axis=1) for r in rows], axis=0
+    )  # [7, 2C]
+    if sub is None:
+        rect = None
+    else:
+        # Unpack the semantic-tile rect rows (min + 256 * (max - 1) per
+        # axis; exact small integers in fp32, and 1/256 is a power of two
+        # so the floor division is exact).
+        rx = ablk_ref[ROW_RECTX : ROW_RECTX + 1, sl]
+        ry = ablk_ref[ROW_RECTY : ROW_RECTY + 1, sl]
+        maxx1 = jnp.floor(rx * (1.0 / 256.0))
+        minx = rx - 256.0 * maxx1
+        maxy1 = jnp.floor(ry * (1.0 / 256.0))
+        miny = ry - 256.0 * maxy1
+        rect = (minx, maxx1, miny, maxy1)
+    return (a0, logop, tail), rect, (mx, my, ca, cb, cc, op)
+
+
+def _stream_block_alpha(parts, rect, pixb, gx, gy):
+    """Evaluate one chunk's coefficients against one [PB, _NQ] pixel-basis
+    block: returns ([C, PB]) alpha (live-masked), alpha_pre, live, power.
+
+    When `rect` is set, the block covers exactly ONE semantic sub-tile
+    (see _pix_basis) at global semantic-grid coordinates (gx, gy), so rect
+    membership is a per-entry row constant: outside entries get PEN_BIG
+    added to a0, which drives `power` past POWER_EPS and excludes them via
+    the standard live test — zero extra matmul work vs the baseline."""
+    a0, logop, tail = parts
+    if rect is not None:
+        minx, maxx1, miny, maxy1 = rect
+        outside = (gx < minx) | (maxx1 < gx) | (gy < miny) | (maxy1 < gy)
+        a0 = a0 + jnp.where(outside, PEN_BIG, 0.0)
+    coef = jnp.concatenate(
+        [jnp.concatenate([a0, a0 + logop], axis=1), tail], axis=0
+    )  # [_NQ, 2C]
+    pp = jax.lax.dot_general(
+        coef, pixb, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [2C, PB]
     C = a0.shape[1]
-    power = power2[:C]
-    powop = power2[C:]
+    power = pp[:C]
+    powop = pp[C:]
     alpha_pre = jnp.exp(powop - jnp.maximum(power, 0.0))  # == op * exp(min(power, 0))
     alpha = jnp.minimum(ALPHA_MAX, alpha_pre)
     live = jnp.where((power <= POWER_EPS) & (alpha >= ALPHA_MIN), 1.0, 0.0)
     alpha = alpha * live
-    return alpha, alpha_pre, live, power, (mx, my, ca, cb, cc, op)
+    return alpha, alpha_pre, live, power
 
 
 def _stream_fwd_kernel(
-    nx: int, tilesize: int, T_total: int,
+    nx: int, tilesize: int, T_total: int, sub: int | None,
     tile_c_ref, k_c_ref,
     tri_ref, pixb_ref, ablk_ref,
     out_ref,
     st_acc, st_logT, st_done,
 ):
-    P = tilesize * tilesize
     i = pl.program_id(0)
-    pixb = pixb_ref[:]  # [P, _NQ]
     # BRANCHLESS chunk bodies: the previous @pl.when guards (segment-head
     # state reset; skip of sentinel / fully-early-stopped chunks) serialized
     # the unrolled loop — every chunk's 3 dependent matmuls waited on the
@@ -1130,6 +1251,28 @@ def _stream_fwd_kernel(
     # (alpha == 0 => exact no-op on the carried state), and the early-stop
     # remains exact through the `inc` mask. This lets Mosaic overlap the
     # matmul chains of adjacent chunks.
+    #
+    # FULLY-SENTINEL grid steps (all CPB chunks past aligned_total — budget
+    # slack) skip the whole body: ONE uniform branch per 16 chunks does not
+    # serialize the live steps' pipelines (unlike the per-chunk guards
+    # above), their out slots are never read (the image gathers real tiles'
+    # last chunks; empty tiles select 0 via a NaN-safe where), and the slack
+    # in default budgets stops costing kernel time. Sentinels are a SUFFIX
+    # of the chunk axis, so first-chunk-sentinel == all-sentinel.
+    @pl.when(tile_c_ref[i * CPB] < T_total)
+    def _live_block_fwd():
+        _stream_fwd_block(
+            nx, tilesize, T_total, sub, tile_c_ref, k_c_ref, tri_ref,
+            pixb_ref, ablk_ref, out_ref, st_acc, st_logT, st_done, i,
+        )
+
+
+def _stream_fwd_block(
+    nx, tilesize, T_total, sub, tile_c_ref, k_c_ref, tri_ref, pixb_ref,
+    ablk_ref, out_ref, st_acc, st_logT, st_done, i,
+):
+    P = tilesize * tilesize
+    pblk = min(P, PBLK)
     for j in range(CPB):
         c = i * CPB + j
         t = tile_c_ref[c]
@@ -1138,40 +1281,49 @@ def _stream_fwd_kernel(
         # uninitialized garbage before the first segment head, and
         # NaN * 0 == NaN would poison the whole stream
         head = k_in == 0
-        logT = jnp.where(head, 0.0, st_logT[:, :])  # [1, P]
-        done = jnp.where(head, 0.0, st_done[:, :])
-        acc_in = jnp.where(head, 0.0, st_acc[:, :])
-
         sl = pl.ds(j * SCHUNK, SCHUNK)
         tt = jnp.minimum(t, T_total - 1)  # sentinel chunks hit sentinel rows
         bx = ((tt % nx) * tilesize).astype(jnp.float32)
         by = ((tt // nx) * tilesize).astype(jnp.float32)
-        alpha, *_ = _stream_chunk_alpha(ablk_ref, sl, bx, by, pixb, tri_ref)
-        l = jnp.log1p(-alpha)  # [C, P]
-        # inclusive prefix over entries (sublanes): S[c] = sum_{c'<=c} l[c']
-        S = _prefix_sublanes(l, tri_ref[:])
-        logT_after = logT + S
-        inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done)
-        T_before = jnp.exp(logT_after - l)
-        w = alpha * T_before * inc  # [C, P]
+        parts, rect, _ = _stream_entry_coefs(ablk_ref, sl, bx, by, sub)
         attrs8 = ablk_ref[ROW_R : ROW_R + 8, sl]  # [8, C]
-        st_acc[:, :] = acc_in + jax.lax.dot_general(
-            attrs8, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        st_logT[:, :] = logT + jnp.sum(l * inc, axis=0, keepdims=True)
-        st_done[:, :] = jnp.maximum(
-            done, jnp.where(logT_after[SCHUNK - 1 : SCHUNK, :] < LOG_T_EPS, 1.0, 0.0)
-        )
-        # (last-contributor tracking removed: the carry-free backward
-        # replays inclusion from the saved (logT, done) state instead)
-        out_ref[j, 0:8, :] = st_acc[:, :]
-        out_ref[j, OUT_LOGT : OUT_LOGT + 1, :] = st_logT[:, :]
-        out_ref[j, OUT_DONE : OUT_DONE + 1, :] = st_done[:, :]
+        nsx = 1 if sub is None else tilesize // sub
+        for pb in range(P // pblk):
+            psl = slice(pb * pblk, (pb + 1) * pblk)
+            gx = gy = None
+            if sub is not None:
+                # block pb = semantic sub-tile (qy, qx); global coords
+                gx = bx * (1.0 / sub) + (pb % nsx)
+                gy = by * (1.0 / sub) + (pb // nsx)
+            logT = jnp.where(head, 0.0, st_logT[:, psl])  # [1, PB]
+            done = jnp.where(head, 0.0, st_done[:, psl])
+            acc_in = jnp.where(head, 0.0, st_acc[:, psl])
+            alpha, *_ = _stream_block_alpha(parts, rect, pixb_ref[psl, :], gx, gy)
+            l = jnp.log1p(-alpha)  # [C, PB]
+            # inclusive prefix over entries (sublanes)
+            S = _prefix_sublanes(l, tri_ref[:])
+            logT_after = logT + S
+            inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done)
+            T_before = jnp.exp(logT_after - l)
+            w = alpha * T_before * inc  # [C, PB]
+            st_acc[:, psl] = acc_in + jax.lax.dot_general(
+                attrs8, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            st_logT[:, psl] = logT + jnp.sum(l * inc, axis=0, keepdims=True)
+            st_done[:, psl] = jnp.maximum(
+                done,
+                jnp.where(logT_after[SCHUNK - 1 : SCHUNK, :] < LOG_T_EPS, 1.0, 0.0),
+            )
+            # (last-contributor tracking removed: the carry-free backward
+            # replays inclusion from the saved (logT, done) state instead)
+            out_ref[j, 0:8, psl] = st_acc[:, psl]
+            out_ref[j, OUT_LOGT : OUT_LOGT + 1, psl] = st_logT[:, psl]
+            out_ref[j, OUT_DONE : OUT_DONE + 1, psl] = st_done[:, psl]
 
 
 def _stream_bwd_kernel(
-    nx: int, tilesize: int, T_total: int, grid: int,
+    nx: int, tilesize: int, T_total: int, grid: int, sub: int | None,
     tile_c_ref, k_c_ref,
     tri_ref, pixb_ref, ablk_ref, outblk_ref, prevblk_ref, gblk_ref,
     totblk_ref,
@@ -1192,10 +1344,29 @@ def _stream_bwd_kernel(
     chunks' matmul/VPU chains — the old reverse-walk formulation serialized
     on its suffixL/suffixA scratch carries. Inclusion needs no
     last-contributor bookkeeping either: inc replays the forward's exact
-    test from the saved (logT, done) entry state."""
-    P = tilesize * tilesize
+    test from the saved (logT, done) entry state.
+
+    FULLY-SENTINEL grid steps skip the whole body (see _stream_fwd_kernel):
+    their dblk slots are never routed (the routing gather only reads
+    aligned positions of real presort entries, and invalid presort slots
+    select 0 via a NaN-safe where in _stream_gather_bwd)."""
     i = pl.program_id(0)
-    pixb = pixb_ref[:]
+
+    @pl.when(tile_c_ref[i * CPB] < T_total)
+    def _live_block_bwd():
+        _stream_bwd_block(
+            nx, tilesize, T_total, sub, tile_c_ref, k_c_ref, tri_ref,
+            pixb_ref, ablk_ref, outblk_ref, prevblk_ref, gblk_ref,
+            totblk_ref, dblk_ref, i,
+        )
+
+
+def _stream_bwd_block(
+    nx, tilesize, T_total, sub, tile_c_ref, k_c_ref, tri_ref, pixb_ref,
+    ablk_ref, outblk_ref, prevblk_ref, gblk_ref, totblk_ref, dblk_ref, i,
+):
+    P = tilesize * tilesize
+    pblk = min(P, PBLK)
     for j in range(CPB):
         c = i * CPB + j
         t = tile_c_ref[c]
@@ -1205,11 +1376,6 @@ def _stream_bwd_kernel(
         # neighbor block is junk for head chunks)
         head = k_in == 0
         prev = outblk_ref[j - 1] if j > 0 else prevblk_ref[0]  # [8, P]
-        logT_e = jnp.where(head, 0.0, prev[OUT_LOGT : OUT_LOGT + 1, :])
-        done_e = jnp.where(head, 0.0, prev[OUT_DONE : OUT_DONE + 1, :])
-        accdot = jnp.where(
-            head, 0.0, jnp.sum(gblk_ref[j, 0:4, :] * prev[0:4, :], axis=0, keepdims=True)
-        )  # [1, P] inclusive-prefix of gww through chunk c-1
 
         sl = pl.ds(j * SCHUNK, SCHUNK)
         dsl = sl
@@ -1218,51 +1384,74 @@ def _stream_bwd_kernel(
             tt = jnp.minimum(t, T_total - 1)
             bx = ((tt % nx) * tilesize).astype(jnp.float32)
             by = ((tt // nx) * tilesize).astype(jnp.float32)
-            alpha, alpha_pre, live, power, geo_rows = _stream_chunk_alpha(
-                ablk_ref, sl, bx, by, pixb, tri_ref
-            )
-            g8 = gblk_ref[j]  # [8, P]
-            g_logT = gblk_ref[j, OUT_LOGT : OUT_LOGT + 1, :]
-            total = totblk_ref[j]  # [1, P] per-tile sum of gww
-            l = jnp.log1p(-alpha)
-            # replay the forward's exact inclusion test (unmasked in-chunk
-            # prefix + entry logT/done)
-            S = _prefix_sublanes(l, tri_ref[:])
-            logT_after = logT_e + S
-            inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done_e)
-            T_before = jnp.exp(logT_after - l)
-            w = alpha * T_before * inc
+            parts, rect, geo_rows = _stream_entry_coefs(ablk_ref, sl, bx, by, sub)
             attrs8 = ablk_ref[ROW_R : ROW_R + 8, sl]  # [8, C]
-            g_w = jax.lax.dot_general(
-                attrs8, g8, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [C, P]
-            gww = g_w * w  # w carries inc
-            prefA = accdot + _prefix_sublanes(gww, tri_ref[:])  # inclusive
-            A = total - prefA  # strict suffix over j > i
-            # live masks d_alpha: dead entries (alpha < 1/255 or power > 0)
-            # have alpha == 0 but alpha_pre != 0, and would otherwise leak
-            # gradient through d_power = d_alpha * alpha_pre
-            d_alpha = (g_w * T_before - (A + g_logT) / (1.0 - alpha)) * (inc * live)
-            # CUDA convention: the 0.99 cap is ignored in the backward;
-            # op * G == alpha_pre (uncapped)
-            d_power = d_alpha * alpha_pre
-            # EVERYTHING below stays in ROW space ([k, C]: entries on lanes).
-            # The previous column-space tail ([C, 1] slices of a transposed
-            # geo block + a [C, NUM_ROWS] store) ran every op at 1/128 lane
-            # utilization and needed an in-kernel [8, C] -> [C, 8] transpose
-            # (0.55 us/chunk); rows are 1 vreg each and the per-entry
-            # attribute rows come straight off the attrs stream.
-            d_attrs_rows = jax.lax.dot_general(
-                g8, w, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [8, C]
-            # per-entry pixel sums via the quadratic basis:
-            # MT[b, c] = sum_p pixb[p, b] * d_power[c, p]
-            MT = jax.lax.dot_general(
-                pixb, d_power, (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [_NQ, C]
+            MT = None
+            d_attrs_rows = None
+            nsx = 1 if sub is None else tilesize // sub
+            for pb in range(P // pblk):
+                # plain static slice: indexes refs AND the materialized
+                # `prev` array (pl.ds only works on refs)
+                psl = slice(pb * pblk, (pb + 1) * pblk)
+                gx = gy = None
+                if sub is not None:
+                    gx = bx * (1.0 / sub) + (pb % nsx)
+                    gy = by * (1.0 / sub) + (pb // nsx)
+                pixb = pixb_ref[psl, :]  # [PB, _NQ]
+                logT_e = jnp.where(head, 0.0, prev[OUT_LOGT : OUT_LOGT + 1, psl])
+                done_e = jnp.where(head, 0.0, prev[OUT_DONE : OUT_DONE + 1, psl])
+                accdot = jnp.where(
+                    head,
+                    0.0,
+                    jnp.sum(
+                        gblk_ref[j, 0:4, psl] * prev[0:4, psl],
+                        axis=0,
+                        keepdims=True,
+                    ),
+                )  # [1, PB] inclusive-prefix of gww through chunk c-1
+                alpha, alpha_pre, live, power = _stream_block_alpha(
+                    parts, rect, pixb, gx, gy
+                )
+                g8 = gblk_ref[j, :, psl]  # [8, PB]
+                g_logT = gblk_ref[j, OUT_LOGT : OUT_LOGT + 1, psl]
+                total = totblk_ref[j, :, psl]  # [1, PB] per-tile sum of gww
+                l = jnp.log1p(-alpha)
+                # replay the forward's exact inclusion test (unmasked
+                # in-chunk prefix + entry logT/done)
+                S = _prefix_sublanes(l, tri_ref[:])
+                logT_after = logT_e + S
+                inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done_e)
+                T_before = jnp.exp(logT_after - l)
+                w = alpha * T_before * inc
+                g_w = jax.lax.dot_general(
+                    attrs8, g8, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [C, PB]
+                gww = g_w * w  # w carries inc
+                prefA = accdot + _prefix_sublanes(gww, tri_ref[:])  # inclusive
+                A = total - prefA  # strict suffix over j > i
+                # live masks d_alpha: dead entries (alpha < 1/255 or
+                # power > 0) have alpha == 0 but alpha_pre != 0, and would
+                # otherwise leak gradient through d_power = d_alpha * alpha_pre
+                d_alpha = (g_w * T_before - (A + g_logT) / (1.0 - alpha)) * (inc * live)
+                # CUDA convention: the 0.99 cap is ignored in the backward;
+                # op * G == alpha_pre (uncapped)
+                d_power = d_alpha * alpha_pre
+                # EVERYTHING below stays in ROW space ([k, C]: entries on
+                # lanes); per-pixel-block partial sums accumulate in
+                # registers across the pixel blocks.
+                da = jax.lax.dot_general(
+                    g8, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [8, C]
+                # per-entry pixel sums via the quadratic basis:
+                # MT[b, c] = sum_p pixb[p, b] * d_power[c, p]
+                mt = jax.lax.dot_general(
+                    pixb, d_power, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [_NQ, C]
+                d_attrs_rows = da if d_attrs_rows is None else d_attrs_rows + da
+                MT = mt if MT is None else MT + mt
             S0, Sx, Sy = MT[0:1], MT[1:2], MT[2:3]
             Sxx, Sxy, Syy = MT[3:4], MT[4:5], MT[5:6]
             mx, my, ca, cb, cc, op = geo_rows  # [1, C] tile-local rows
@@ -1290,7 +1479,7 @@ def _stream_bwd_kernel(
             dblk_ref[:, dsl] = jnp.concatenate([dgeo, d_attrs_rows, zeros2], axis=0)
 
 
-def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, ny, tilesize):
+def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, ny, tilesize, sub=None):
     R, Lpad = attrsT.shape
     nbc = Lpad // SCHUNK
     grid = Lpad // (CPB * SCHUNK)
@@ -1312,14 +1501,14 @@ def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, ny, tilesize):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_stream_fwd_kernel, nx, tilesize, T_total),
+        functools.partial(_stream_fwd_kernel, nx, tilesize, T_total, sub),
         out_shape=jax.ShapeDtypeStruct((nbc, 8, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(tile_of_chunk, k_of_chunk, _tri_matrix(SUB), _pix_basis(tilesize, P), attrsT)
+    )(tile_of_chunk, k_of_chunk, _tri_matrix(SUB), _pix_basis(tilesize, P, sub), attrsT)
 
 
-def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, totchunks, nx, ny, tilesize):
+def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, totchunks, nx, ny, tilesize, sub=None):
     R, Lpad = attrsT.shape
     nbc = Lpad // SCHUNK
     grid = Lpad // (CPB * SCHUNK)
@@ -1346,27 +1535,29 @@ def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, tot
         out_specs=pl.BlockSpec((NUM_ROWS, CPB * SCHUNK), lambda i, tc, kc: (0, i), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_stream_bwd_kernel, nx, tilesize, T_total, grid),
+        functools.partial(_stream_bwd_kernel, nx, tilesize, T_total, grid, sub),
         out_shape=jax.ShapeDtypeStruct((NUM_ROWS, Lpad), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(tile_of_chunk, k_of_chunk, _tri_matrix(SUB), _pix_basis(tilesize, P), attrsT, out_chunks, out_chunks, gchunks, totchunks)
+    )(tile_of_chunk, k_of_chunk, _tri_matrix(SUB), _pix_basis(tilesize, P, sub), attrsT, out_chunks, out_chunks, gchunks, totchunks)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def stream_gather_composite(attrs, bins, nx, ny, tilesize):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def stream_gather_composite(attrs, bins, nx, ny, tilesize, sub=None):
     """Stream-kernel compositing of the full tile grid: returns [T, 8, P]
     (rows OUT_R..OUT_D premultiplied rgb+depth, OUT_LOGT the final log
-    transmittance, OUT_LASTP the last-contributor position), with the same
-    scatter-free custom VJP routing as flat_gather_composite."""
-    out, _ = _stream_gather_fwd(attrs, bins, nx, ny, tilesize)
+    transmittance), with the same scatter-free custom VJP routing as
+    flat_gather_composite. `sub` (the semantic tile, e.g. 16) activates the
+    per-pixel semantic-rect replay when tilesize is a coarser processing
+    tile."""
+    out, _ = _stream_gather_fwd(attrs, bins, nx, ny, tilesize, sub)
     return out
 
 
-def _stream_gather_fwd(attrs, bins, nx, ny, tilesize):
-    attrsT = _aligned_attrsT(attrs, bins, SCHUNK)  # [R, L_pad]
+def _stream_gather_fwd(attrs, bins, nx, ny, tilesize, sub=None):
+    attrsT = _aligned_attrsT(attrs, bins)  # [R, L_pad]
     out_chunks = _stream_fwd_impl(
-        attrsT, bins.tile_of_chunk, bins.k_of_chunk, nx, ny, tilesize
+        attrsT, bins.tile_of_chunk, bins.k_of_chunk, nx, ny, tilesize, sub
     )  # [nbc, 8, P]
     T_full = nx * ny
     nbc = out_chunks.shape[0]
@@ -1374,11 +1565,13 @@ def _stream_gather_fwd(attrs, bins, nx, ny, tilesize):
     # chunks) take the zero state (acc 0, logT 0 -> T = 1)
     last_chunk = bins.aligned_starts[1 : T_full + 1] // SCHUNK - 1
     out = out_chunks[jnp.clip(last_chunk, 0, nbc - 1)]
-    out = out * (bins.counts > 0)[:, None, None].astype(out.dtype)
+    # NaN-safe select (not multiply): an empty tile's gathered slot can land
+    # in a skipped fully-sentinel block whose HBM is uninitialized garbage
+    out = jnp.where((bins.counts > 0)[:, None, None], out, 0.0)
     return out, (attrsT, bins, out, out_chunks, attrs.shape[0])
 
 
-def _stream_gather_bwd(nx, ny, tilesize, res, gout):
+def _stream_gather_bwd(nx, ny, tilesize, sub, res, gout):
     attrsT, bins, fout, out_chunks, n_attr = res
     L = bins.orig_idx_sorted.shape[0]
     R_USED = ROW_D + 1
@@ -1395,7 +1588,7 @@ def _stream_gather_bwd(nx, ny, tilesize, res, gout):
     totchunks = tot_tile[tile_c]
     dT = _stream_bwd_impl(
         attrsT, bins.tile_of_chunk, bins.k_of_chunk, out_chunks,
-        gchunks, totchunks, nx, ny, tilesize,
+        gchunks, totchunks, nx, ny, tilesize, sub,
     )  # [NUM_ROWS, L_pad] row-major (the kernel's row-space store)
     # ONE XLA transpose to entry-major for the routing gather (replaces
     # 8192 in-kernel [8, C] transposes); barrier keeps the transpose and the
@@ -1404,7 +1597,9 @@ def _stream_gather_bwd(nx, ny, tilesize, res, gout):
     d_aligned = jax.lax.optimization_barrier(dT[:R_USED].T)
     d_presort = d_aligned[bins.aligned_pos_of_presort]
     e = jnp.arange(L, dtype=jnp.int32)
-    d_presort = d_presort * (e < bins.total_entries)[:, None]
+    # NaN-safe select (not multiply): invalid presort slots clip into
+    # skipped fully-sentinel blocks whose dblk rows are uninitialized
+    d_presort = jnp.where((e < bins.total_entries)[:, None], d_presort, 0.0)
     csum = jax.lax.optimization_barrier(jnp.cumsum(d_presort, axis=0))
     # ONE boundary gather instead of two: segments are contiguous in depth
     # rank, so the previous segment's end value is just the SHIFTED end-value

@@ -56,7 +56,11 @@ def render_model(
     SH/covariance stages."""
     kw = {}
     if backend == "tpu":
-        kw = dict(max_per_tile=raster.max_per_tile, entry_budget=raster.entry_budget)
+        kw = dict(
+            max_per_tile=raster.max_per_tile,
+            entry_budget=raster.entry_budget,
+            ptile=raster.resolved_ptile(camera.width, camera.height),
+        )
         from scgaussian_tpu.renderer import tile_raster  # noqa: F401
 
     xyz = model.get_xyz()

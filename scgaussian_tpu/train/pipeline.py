@@ -111,7 +111,11 @@ def run_main_stage(
             return
         from scgaussian_tpu.renderer.binning import default_entry_budget
 
-        current = raster.entry_budget or default_entry_budget(model.total)
+        # same default the renderer resolves (ptile-aware) so the regrow
+        # arithmetic matches the budget that actually overflowed
+        cam0 = cameras[0]
+        pf = raster.resolved_ptile(cam0.width, cam0.height) // raster.tile
+        current = raster.entry_budget or default_entry_budget(model.total, pf)
         needed = current + overflow
         new_budget = current
         while new_budget < needed:

@@ -222,3 +222,191 @@ def test_tile_starts_matches_searchsorted():
         np.asarray(_tile_starts(jnp.asarray(keys), 9)),
         np.searchsorted(keys, np.arange(10), side="left"),
     )
+
+
+@pytest.mark.parametrize("seed,n", [(0, 64), (2, 200)])
+def test_ptile_parity_forward(seed, n):
+    """ptile=32 (coarse processing tile + per-pixel semantic-rect replay)
+    reproduces the semantic 16px-tile path. Exactness is semantic (same
+    splat set, same depth order, same thresholds); fp rounding of the
+    quadratic form at a different tile-local origin can flip splats sitting
+    exactly on the 1/255 alpha threshold, so tolerances match the existing
+    backend-vs-oracle noise floor (2e-5/5e-5), not bitwise."""
+    cam = make_camera(64, 48)
+    means, scales, quats, opac, shs = make_scene(n=n, seed=seed)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    base = render(
+        cam, means, opac, bg, scales=scales, rotations=quats, shs=shs,
+        active_sh_degree=3, backend="oracle",
+    )
+    coarse = render(
+        cam, means, opac, bg, scales=scales, rotations=quats, shs=shs,
+        active_sh_degree=3, backend="tpu", ptile=32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(coarse.render), np.asarray(base.render), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(coarse.rendered_depth), np.asarray(base.rendered_depth),
+        atol=5e-4,  # depth is O(scene scale); threshold flips scale with it
+    )
+    np.testing.assert_allclose(
+        np.asarray(coarse.rendered_alpha), np.asarray(base.rendered_alpha),
+        atol=1e-4,
+    )
+
+
+def test_ptile_parity_gradients():
+    """ptile=32 gradients match the oracle (and hence the default path)."""
+    cam = make_camera(48, 32)
+    means, scales, quats, opac, shs = make_scene(
+        n=24, seed=9, opacity_range=(0.3, 0.8)
+    )
+    bg = jnp.asarray([0.3, 0.3, 0.3])
+    target = jnp.ones((3, 32, 48)) * 0.5
+
+    def loss(backend, means, scales, quats, opac, shs, **kw):
+        out = render(
+            cam, means, opac, bg, scales=scales, rotations=quats, shs=shs,
+            active_sh_degree=2, backend=backend, **kw,
+        )
+        return (
+            jnp.mean((out.render - target) ** 2)
+            + 0.05 * jnp.mean(out.rendered_depth)
+            + 0.05 * jnp.mean(out.rendered_alpha)
+        )
+
+    args = (means, scales, quats, opac, shs)
+    l_o = float(loss("oracle", *args))
+    l_p = float(loss("tpu", *args, ptile=32))
+    assert abs(l_o - l_p) < 1e-6
+
+    g_o = jax.grad(lambda *a: loss("oracle", *a), argnums=(0, 1, 2, 3, 4))(*args)
+    g_p = jax.grad(
+        lambda *a: loss("tpu", *a, ptile=32), argnums=(0, 1, 2, 3, 4)
+    )(*args)
+    for name, a, b in zip(["means", "scales", "quats", "opac", "shs"], g_o, g_p):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            b, a, atol=5e-4 * (np.abs(a).max() + 1e-8), err_msg=name
+        )
+
+
+def test_ptile_entry_reduction():
+    """The coarse processing grid emits measurably fewer tile entries."""
+    from scgaussian_tpu.renderer import binning as binning_mod
+    from scgaussian_tpu.renderer import project as project_mod
+
+    cam = make_camera(64, 64)
+    means, scales, quats, opac, shs = make_scene(n=200, seed=4)
+    proj = project_mod.project(
+        cam, means, opac, scales=scales, rotations=quats, shs=shs,
+        active_sh_degree=3,
+    )
+    n16 = binning_mod.bin_gaussians(proj, 64, 64, 16, 4096)
+    n32 = binning_mod.bin_gaussians(proj, 64, 64, 16, 4096, ptile=32)
+    c16 = int(jnp.sum(n16.seg_counts))
+    c32 = int(jnp.sum(n32.seg_counts))
+    assert c32 < c16, (c16, c32)
+
+
+def test_ext_cull_equivalence_vs_square_rect():
+    """Direct A/B of the exact-equivalence extents cull (project.py ext):
+    binning with the per-axis ext rect vs CUDA's square radius rect must
+    produce identical images and parameter gradients on a scene of
+    low-opacity anisotropic splats where ext << radius, while emitting
+    measurably fewer tile entries. Excluded entries contribute exactly 0
+    through the kernels' alpha test, but their removal shifts entry
+    positions inside the MXU prefix-tree reductions, so 'identical' means
+    fp32 reduction-order noise: ~1e-6 on the image, 5e-4*scale on gradients
+    (the backward's total-minus-prefix suffix sums amplify regrouping noise;
+    same bar as the oracle gradient-parity tests)."""
+    import dataclasses as dc
+
+    from scgaussian_tpu.renderer import binning as binning_mod
+    from scgaussian_tpu.renderer import project as project_mod
+    from scgaussian_tpu.renderer import tile_raster
+
+    W, H = 80, 64
+    cam = make_camera(W, H)
+    n = 60
+    rng = np.random.default_rng(11)
+    means = jnp.asarray(
+        np.stack(
+            [rng.uniform(-0.6, 0.6, n), rng.uniform(-0.45, 0.45, n),
+             rng.uniform(2, 6, n)], -1
+        ).astype(np.float32)
+    )
+    # anisotropic: one long axis; low opacity so q_thr = 2 ln(255 op) makes
+    # ext substantially smaller than the 3-sigma radius
+    scales = jnp.asarray(
+        np.stack(
+            [rng.uniform(0.2, 0.4, n), rng.uniform(0.01, 0.03, n),
+             rng.uniform(0.01, 0.03, n)], -1
+        ).astype(np.float32)
+    )
+    quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.02, 0.08, n).astype(np.float32))
+    shs_np = np.zeros((n, 16, 3), np.float32)
+    shs_np[:, 0] = rng.uniform(-0.5, 0.5, (n, 3))
+    shs = jnp.asarray(shs_np)
+    bg = jnp.asarray([0.2, 0.1, 0.3])
+
+    def fwd(square_rect, means, scales, quats, opac, shs):
+        proj = project_mod.project(
+            cam, means, opac, scales=scales, rotations=quats, shs=shs,
+            active_sh_degree=2,
+        )
+        if square_rect:
+            proj = dc.replace(
+                proj, ext=jnp.stack([proj.radius, proj.radius], axis=-1)
+            )
+        img, dep, alp, _ = tile_raster.rasterize(proj, W, H, bg)
+        return img, dep, alp
+
+    def loss(square_rect, *a):
+        img, dep, alp = fwd(square_rect, *a)
+        return jnp.sum(img**2) + 0.1 * jnp.sum(dep**2) + 0.1 * jnp.sum(alp)
+
+    args = (means, scales, quats, opac, shs)
+    for x_sq, x_ext, tol in zip(fwd(True, *args), fwd(False, *args), (1e-6, 1e-5, 1e-6)):
+        np.testing.assert_allclose(
+            np.asarray(x_ext), np.asarray(x_sq), atol=tol
+        )
+
+    g_sq = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    g_ext = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    for name, a, b in zip(["means", "scales", "quats", "opac", "shs"], g_sq, g_ext):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            b, a, atol=5e-4 * (np.abs(a).max() + 1e-8), err_msg=name
+        )
+
+    # and the cull must actually cull: measurably fewer tile entries
+    proj = project_mod.project(
+        cam, means, opac, scales=scales, rotations=quats, shs=shs,
+        active_sh_degree=2,
+    )
+    proj_sq = dc.replace(proj, ext=jnp.stack([proj.radius, proj.radius], -1))
+    c_ext = int(binning_mod.bin_gaussians(proj, W, H, 16, 1 << 14).total_entries)
+    c_sq = int(binning_mod.bin_gaussians(proj_sq, W, H, 16, 1 << 14).total_entries)
+    assert c_ext < 0.8 * c_sq, (c_ext, c_sq)
+
+
+def test_resolved_ptile_auto():
+    from scgaussian_tpu.config import RasterizerConfig
+
+    rc = RasterizerConfig()
+    assert rc.resolved_ptile(1920, 1080) == 32
+    assert rc.resolved_ptile(504, 378) == 32
+    assert rc.resolved_ptile(4096, 2160) == 32
+    assert rc.resolved_ptile(4112, 2160) == 16  # grid > 256 semantic tiles
+    assert dataclasses_replace_ptile() == 16
+
+
+def dataclasses_replace_ptile():
+    import dataclasses as dc
+
+    from scgaussian_tpu.config import RasterizerConfig
+
+    return dc.replace(RasterizerConfig(), ptile=16).resolved_ptile(1920, 1080)

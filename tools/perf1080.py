@@ -25,19 +25,18 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build(dense: bool, fwd_only: bool):
+def build(dense: bool, fwd_only: bool, ptile=16):
     import jax
     import jax.numpy as jnp
 
+    from bench import probe_budgets
     from scgaussian_tpu.core.cameras import Camera
     from scgaussian_tpu.renderer import render
 
     if dense:
         W, H, N = 3840, 2160, 500_000
-        budgets = {"entry_budget": 6_291_456, "aligned_budget": 7_602_176}
     else:
         W, H, N = 1920, 1080, 100_000
-        budgets = {"entry_budget": 417_792, "aligned_budget": 1_046_528}
     rng = np.random.default_rng(0)
     means = np.stack(
         [rng.uniform(-3, 3, N), rng.uniform(-2, 2, N), rng.uniform(2, 10, N)], -1
@@ -48,6 +47,11 @@ def build(dense: bool, fwd_only: bool):
     shs = np.zeros((N, 16, 3), np.float32)
     shs[:, 0] = rng.uniform(-1, 1, (N, 3))
     cam = Camera.create(np.eye(3), np.zeros(3), 0.9, 0.6, W, H)
+
+    pre = tuple(jnp.asarray(x) for x in (means, opac, scales, quats, shs))
+    budgets = probe_budgets(cam, pre, W, H, ptile)
+    print(f"probe budgets (ptile={ptile}): {budgets}")
+    budgets["ptile"] = ptile
 
     def loss(*a):
         out = render(
@@ -80,6 +84,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dense", action="store_true")
     ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--ptile", type=int, default=16)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--trace-dir", default="/tmp/perf1080_trace")
@@ -88,7 +93,7 @@ def main():
 
     import jax
 
-    step, inputs, nrays = build(args.dense, args.fwd_only)
+    step, inputs, nrays = build(args.dense, args.fwd_only, args.ptile)
 
     t0 = time.time()
     out = step(*inputs)
