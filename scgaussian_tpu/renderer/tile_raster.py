@@ -494,13 +494,21 @@ def rasterize(
                 .reshape(ch, ny * ptile, nx * ptile)[:, :height, :width]
             )  # channels-first directly — no final transpose
         else:
-            # sub-tile pixel order (qy, qx, sub, sub) — see _pix_basis
+            # sub-tile pixel order (qy, qx, sub, sub) — see _pix_basis.
+            # PER-CHANNEL 6-axis untiles + one stack: the one-shot 7-axis
+            # channel-first transpose lowers to a T(2,128)-layout copy chain
+            # (9.5 ms at dense 4K); the per-channel form measures 4.2 ms.
             ns = ptile // sub
-            img5 = (
-                out5.reshape(ny, nx, ch, ns, ns, sub, sub)
-                .transpose(2, 0, 3, 5, 1, 4, 6)
-                .reshape(ch, ny * ptile, nx * ptile)[:, :height, :width]
-            )
+            img5 = jnp.stack(
+                [
+                    out5[:, c, :]
+                    .reshape(ny, nx, ns, ns, sub, sub)
+                    .transpose(0, 2, 4, 1, 3, 5)
+                    .reshape(ny * ptile, nx * ptile)
+                    for c in range(ch)
+                ],
+                axis=0,
+            )[:, :height, :width]
         acc_rgb = img5[OUT_R : OUT_B + 1]  # [3, H, W]
         acc_d = img5[OUT_D]
         T_fin = jnp.exp(img5[OUT_LOGT])
@@ -1571,6 +1579,61 @@ def _stream_gather_fwd(attrs, bins, nx, ny, tilesize, sub=None):
     return out, (attrsT, bins, out, out_chunks, attrs.shape[0])
 
 
+SORT_ROUTE_MIN_L = 1 << 20  # entry budget above which the backward's
+# entry->Gaussian routing sorts instead of gathers: the [L]-row permutation
+# gather is HBM-span-bound (~23 ns/row at dense 4K = 45 ms), while a
+# (key, 10 payload) lax.sort is 8 ms at the same shape — but at 1080p scale
+# the real (semi-local) gather is ~1 ms and beats the sort's fixed passes.
+
+
+def _zero_dbins(bins):
+    from jax.dtypes import float0
+
+    return jax.tree_util.tree_map(lambda x: np.zeros(x.shape, float0), bins)
+
+
+def _route_by_sort(dT, bins, n_attr, R_USED):
+    """Entry->Gaussian gradient reduction via ONE (key, payloads) sort.
+
+    Sort the per-entry gradient rows by ORIGINAL Gaussian index (the
+    existing orig_idx_aligned array; pad/sentinel slots carry key N and
+    land — together with any uninitialized rows from skipped sentinel
+    blocks — in a suffix run that is never read). Each Gaussian then owns a
+    contiguous run, located with the two-level sampled search; runs tile
+    the array contiguously, so per-Gaussian sums are the SHIFTED differences
+    of one cumsum boundary row-gather, directly in original-index order (no
+    rank->orig reorder). The row-major dT feeds the sort as 10 contiguous
+    [L_pad] column views — the entry-major transpose of the gather path
+    disappears too."""
+    from scgaussian_tpu.renderer.binning import _tile_starts
+
+    n = n_attr - 1  # attrs carries the +1 sentinel row
+    L_pad = dT.shape[1]
+    keys = jax.lax.optimization_barrier(bins.orig_idx_aligned)
+    routed = jax.lax.sort(
+        (keys,) + tuple(dT[i] for i in range(R_USED)), num_keys=1
+    )
+    starts_g = _tile_starts(routed[0], n)  # [N + 1] run boundaries
+    d_sorted = jnp.stack(routed[1:], axis=1)  # [L_pad, R_USED]
+    csum = jax.lax.optimization_barrier(jnp.cumsum(d_sorted, axis=0))
+    seg_last = starts_g[1:] - 1  # [N] inclusive run end (== next run start - 1)
+    # NaN-safe select: with zero real entries the clipped gather can read a
+    # garbage row from a skipped sentinel block
+    end_vals = jnp.where(
+        (seg_last >= 0)[:, None], csum[jnp.clip(seg_last, 0, L_pad - 1)], 0.0
+    )
+    start_prev = jnp.concatenate(
+        [jnp.zeros((1, R_USED), end_vals.dtype), end_vals[:-1]], axis=0
+    )
+    d_attrs = end_vals - start_prev  # [N, R_USED] original-index order
+    d_attrs = jnp.concatenate(
+        [d_attrs, jnp.zeros((n, NUM_ROWS - R_USED), d_attrs.dtype)], axis=1
+    )
+    return jnp.concatenate(
+        [d_attrs, jnp.zeros((1, NUM_ROWS), d_attrs.dtype)], axis=0
+    )
+
+
 def _stream_gather_bwd(nx, ny, tilesize, sub, res, gout):
     attrsT, bins, fout, out_chunks, n_attr = res
     L = bins.orig_idx_sorted.shape[0]
@@ -1590,6 +1653,8 @@ def _stream_gather_bwd(nx, ny, tilesize, sub, res, gout):
         attrsT, bins.tile_of_chunk, bins.k_of_chunk, out_chunks,
         gchunks, totchunks, nx, ny, tilesize, sub,
     )  # [NUM_ROWS, L_pad] row-major (the kernel's row-space store)
+    if L >= SORT_ROUTE_MIN_L:
+        return _route_by_sort(dT, bins, n_attr, R_USED), _zero_dbins(bins)
     # ONE XLA transpose to entry-major for the routing gather (replaces
     # 8192 in-kernel [8, C] transposes); barrier keeps the transpose and the
     # gather as separate vectorized ops (fused they serialize; see

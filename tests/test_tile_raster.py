@@ -410,3 +410,36 @@ def dataclasses_replace_ptile():
     from scgaussian_tpu.config import RasterizerConfig
 
     return dc.replace(RasterizerConfig(), ptile=16).resolved_ptile(1920, 1080)
+
+
+def test_sort_route_backward_parity(monkeypatch):
+    """The size-gated sort-based entry->Gaussian routing (_route_by_sort)
+    produces the same gradients as the default gather route."""
+    from scgaussian_tpu.renderer import tile_raster
+
+    cam = make_camera(48, 32)
+    means, scales, quats, opac, shs = make_scene(
+        n=24, seed=9, opacity_range=(0.3, 0.8)
+    )
+    bg = jnp.asarray([0.3, 0.3, 0.3])
+
+    def loss(means, scales, quats, opac, shs):
+        out = render(
+            cam, means, opac, bg, scales=scales, rotations=quats, shs=shs,
+            active_sh_degree=2, backend="tpu", ptile=32,
+        )
+        return (
+            jnp.sum(out.render**2)
+            + 0.1 * jnp.sum(out.rendered_depth**2)
+            + 0.1 * jnp.sum(out.rendered_alpha)
+        )
+
+    args = (means, scales, quats, opac, shs)
+    g_gather = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+    monkeypatch.setattr(tile_raster, "SORT_ROUTE_MIN_L", 0)
+    g_sort = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+    for name, a, b in zip(["means", "scales", "quats", "opac", "shs"], g_gather, g_sort):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            b, a, atol=1e-5 * (np.abs(a).max() + 1e-8), err_msg=name
+        )
