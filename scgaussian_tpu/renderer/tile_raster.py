@@ -1481,10 +1481,26 @@ def _stream_bwd_block(
                 ],
                 axis=0,
             )  # [6, C] (ROW_MX..ROW_OP)
-            zeros2 = jnp.zeros((NUM_ROWS - ROW_R - 8, SCHUNK), jnp.float32)
             # dT is born [NUM_ROWS, L_pad] (row-major); ONE XLA transpose
-            # before the routing gather replaces 8192 in-kernel transposes
-            dblk_ref[:, dsl] = jnp.concatenate([dgeo, d_attrs_rows, zeros2], axis=0)
+            # before the routing gather replaces 8192 in-kernel transposes.
+            if SCHUNK % 128 == 0:
+                # one full-width store (8 separate stores measured +0.6 ms)
+                zeros2 = jnp.zeros((NUM_ROWS - ROW_R - 8, SCHUNK), jnp.float32)
+                dblk_ref[:, dsl] = jnp.concatenate(
+                    [dgeo, d_attrs_rows, zeros2], axis=0
+                )
+            else:
+                # dgeo carries the SCHUNK-offset lane layout of its source
+                # slices while the matmul-born d_attrs_rows carries offset
+                # 0; Mosaic rejects sublane concats with mismatched lane
+                # offsets when SCHUNK is not a 128-lane-tile multiple, so
+                # store the pieces separately (measured SCHUNK=64 is slower
+                # overall anyway — this branch just keeps it functional).
+                dblk_ref[0:ROW_R, dsl] = dgeo
+                dblk_ref[ROW_R : ROW_R + 8, dsl] = d_attrs_rows
+                dblk_ref[ROW_R + 8 : NUM_ROWS, dsl] = jnp.zeros(
+                    (NUM_ROWS - ROW_R - 8, SCHUNK), jnp.float32
+                )
 
 
 def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, ny, tilesize, sub=None):
