@@ -1,0 +1,90 @@
+"""Measure full training-step throughput at LLFF-fern scale on TPU.
+
+Generates a synthetic COLMAP scene at the fern -r8 resolution (504x378),
+runs the real two-stage pipeline (init + main with densification), and
+reports steady-state main-loop step time over iterations 100-300 (compile
+and densify-growth recompiles excluded by the warmup window).
+
+Usage:  PYTHONPATH=/root/repo:/root/.axon_site python tools/train_speed.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from scgaussian_tpu.config import OptimizationConfig, RasterizerConfig, TrainExtras
+    from scgaussian_tpu.data.scene import Scene
+    from scgaussian_tpu.data.synthetic import generate_scene
+    from scgaussian_tpu.train import pipeline
+
+    scene_dir = "/tmp/train_speed_scene"
+    if not os.path.isdir(scene_dir):
+        generate_scene(
+            scene_dir, n_views=10, n_gaussians=120, n_points=240,
+            width=504, height=378, seed=3, ring_radius=0.8,
+        )
+
+    scene = Scene(source_path=scene_dir, model_path="/tmp/train_speed_model",
+                  resolution=1, eval=True, seed=0)
+    extras = TrainExtras(init_iterations=200, bg_capacity=8192)
+    opt = OptimizationConfig(iterations=800)
+    raster = RasterizerConfig()
+
+    rng = jax.random.key(0)
+    rng, init_rng = jax.random.split(rng)
+    model, _ = pipeline.setup_from_matches(
+        scene.bundle, init_rng, sh_degree=3,
+        spatial_lr_scale=scene.cameras_extent, extras=extras,
+    )
+    print(f"init done: {model.total} capacity, {model.num_ray} ray gaussians")
+
+    cam0 = scene.train_cameras[0].camera
+    W, H = cam0.width, cam0.height
+    times = []
+    t_last = [time.time()]
+
+    def cb(iteration, m, metrics, **kw):
+        now = time.time()
+        if iteration > 300:
+            times.append(now - t_last[0])
+        t_last[0] = now
+
+    pipeline.run_main_stage(
+        model,
+        scene.bundle,
+        [c.camera for c in scene.train_cameras],
+        [c.gt_image() for c in scene.train_cameras],
+        view_ids=[scene.view_id(c) for c in scene.train_cameras],
+        rng=rng,
+        opt_cfg=opt,
+        raster=raster,
+        extras=extras,
+        cameras_extent=scene.cameras_extent,
+        callback=cb,
+    )
+    t = np.asarray(times)
+    # iterations with a shape-growth recompile are one-time (compile cache);
+    # steady state = everything else, incl. the densify syncs where the
+    # async dispatch queue drains
+    recompiles = t[t > 1.0]
+    steady = t[t <= 1.0]
+    mean = float(np.mean(steady))
+    print(
+        f"fern-scale ({W}x{H}): steady mean step {mean * 1e3:.2f} ms "
+        f"= {W * H / mean / 1e6:.1f} Mrays/s (fwd+bwd+losses+opt incl. "
+        f"densify syncs); {len(recompiles)} recompile iterations excluded "
+        f"({recompiles.sum():.1f}s)"
+    )
+
+
+if __name__ == "__main__":
+    main()
