@@ -64,6 +64,7 @@ NUM_ROWS = 16  # 10 used + 4 zero-pad + 2 rect rows; multiple of the f32
 
 # columns of the output layout [T, P, 8]
 OUT_R, OUT_G, OUT_B, OUT_D, OUT_LOGT, OUT_LASTP, OUT_DONE = 0, 1, 2, 3, 4, 5, 6
+G_ROWS = OUT_LOGT + 1  # cotangent rows the backward consumes (r,g,b,d,logT)
 
 
 def _pix_coords(tile_id, nx: int, tilesize: int, P: int):
@@ -1420,7 +1421,7 @@ def _stream_bwd_block(
                 alpha, alpha_pre, live, power = _stream_block_alpha(
                     parts, rect, pixb, gx, gy
                 )
-                g8 = gblk_ref[j, :, psl]  # [8, PB]
+                g8 = gblk_ref[j, :, psl]  # [G_ROWS, PB] (r, g, b, d, logT)
                 g_logT = gblk_ref[j, OUT_LOGT : OUT_LOGT + 1, psl]
                 total = totblk_ref[j, :, psl]  # [1, PB] per-tile sum of gww
                 l = jnp.log1p(-alpha)
@@ -1432,9 +1433,10 @@ def _stream_bwd_block(
                 T_before = jnp.exp(logT_after - l)
                 w = alpha * T_before * inc
                 g_w = jax.lax.dot_general(
-                    attrs8, g8, (((0,), (0,)), ((), ())),
+                    attrs8[0:G_ROWS], g8, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # [C, PB]
+                )  # [C, PB]  (row 4 of the operand is a zero attr row, so
+                # the logT cotangent cannot leak into g_w)
                 gww = g_w * w  # w carries inc
                 prefA = accdot + _prefix_sublanes(gww, tri_ref[:])  # inclusive
                 A = total - prefA  # strict suffix over j > i
@@ -1451,7 +1453,8 @@ def _stream_bwd_block(
                 da = jax.lax.dot_general(
                     g8, w, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # [8, C]
+                )  # [G_ROWS, C] (row 4 = g_logT * w, never routed: R_USED
+                # stops at ROW_D)
                 # per-entry pixel sums via the quadratic basis:
                 # MT[b, c] = sum_p pixb[p, b] * d_power[c, p]
                 mt = jax.lax.dot_general(
@@ -1485,7 +1488,9 @@ def _stream_bwd_block(
             # before the routing gather replaces 8192 in-kernel transposes.
             if SCHUNK % 128 == 0:
                 # one full-width store (8 separate stores measured +0.6 ms)
-                zeros2 = jnp.zeros((NUM_ROWS - ROW_R - 8, SCHUNK), jnp.float32)
+                zeros2 = jnp.zeros(
+                    (NUM_ROWS - ROW_R - G_ROWS, SCHUNK), jnp.float32
+                )
                 dblk_ref[:, dsl] = jnp.concatenate(
                     [dgeo, d_attrs_rows, zeros2], axis=0
                 )
@@ -1497,9 +1502,9 @@ def _stream_bwd_block(
                 # store the pieces separately (measured SCHUNK=64 is slower
                 # overall anyway — this branch just keeps it functional).
                 dblk_ref[0:ROW_R, dsl] = dgeo
-                dblk_ref[ROW_R : ROW_R + 8, dsl] = d_attrs_rows
-                dblk_ref[ROW_R + 8 : NUM_ROWS, dsl] = jnp.zeros(
-                    (NUM_ROWS - ROW_R - 8, SCHUNK), jnp.float32
+                dblk_ref[ROW_R : ROW_R + G_ROWS, dsl] = d_attrs_rows
+                dblk_ref[ROW_R + G_ROWS : NUM_ROWS, dsl] = jnp.zeros(
+                    (NUM_ROWS - ROW_R - G_ROWS, SCHUNK), jnp.float32
                 )
 
 
@@ -1553,7 +1558,9 @@ def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, tot
             # extra HBM reads at 1080p.
             pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, P), lambda i, tc, kc: (jnp.maximum(i * CPB - 1, 0), 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (i, 0, 0), memory_space=pltpu.VMEM),
+            # cotangents: 5 rows only (r, g, b, d, logT) — rows 5-7 of the
+            # fwd out layout are kernel bookkeeping with zero cotangent
+            pl.BlockSpec((CPB, G_ROWS, P), lambda i, tc, kc: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((CPB, 1, P), lambda i, tc, kc: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((NUM_ROWS, CPB * SCHUNK), lambda i, tc, kc: (0, i), memory_space=pltpu.VMEM),
@@ -1662,8 +1669,9 @@ def _stream_gather_bwd(nx, ny, tilesize, sub, res, gout):
     # gathers of 8 KB rows); barriers keep the gathers unfused from their
     # producer chains (fused gathers serialize)
     tot_tile = jnp.sum(gout[:, 0:4, :] * fout[:, 0:4, :], axis=1, keepdims=True)
-    tile_c, gout, tot_tile = jax.lax.optimization_barrier((tile_c, gout, tot_tile))
-    gchunks = gout[tile_c]
+    gout5 = gout[:, 0:G_ROWS, :]  # rows 5-7 are bookkeeping, cotangent 0
+    tile_c, gout5, tot_tile = jax.lax.optimization_barrier((tile_c, gout5, tot_tile))
+    gchunks = gout5[tile_c]
     totchunks = tot_tile[tile_c]
     dT = _stream_bwd_impl(
         attrsT, bins.tile_of_chunk, bins.k_of_chunk, out_chunks,
