@@ -482,11 +482,8 @@ def rasterize(
     attrs = attrs_matrix(proj, width=width, height=height, sem_tile=sub)
 
     if flat:
-        out8 = stream_gather_composite(attrs, bins, nx, ny, ptile, sub)  # [T, 8, P]
-        # assemble only the 5 rows the image needs (r, g, b, d, logT):
-        # rows 5-7 are kernel bookkeeping and would ride the two transpose
-        # copies for nothing (37% of the assembly bytes, fwd AND bwd)
-        out5 = out8[:, 0 : OUT_LOGT + 1]
+        # [T, 5, P]: exactly the rows the image needs (r, g, b, d, logT)
+        out5 = stream_gather_composite(attrs, bins, nx, ny, ptile, sub)
         ch = OUT_LOGT + 1
         if sub is None:
             img5 = (
@@ -1575,7 +1572,7 @@ def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, tot
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def stream_gather_composite(attrs, bins, nx, ny, tilesize, sub=None):
-    """Stream-kernel compositing of the full tile grid: returns [T, 8, P]
+    """Stream-kernel compositing of the full tile grid: returns [T, 5, P]
     (rows OUT_R..OUT_D premultiplied rgb+depth, OUT_LOGT the final log
     transmittance), with the same scatter-free custom VJP routing as
     flat_gather_composite. `sub` (the semantic tile, e.g. 16) activates the
@@ -1593,9 +1590,11 @@ def _stream_gather_fwd(attrs, bins, nx, ny, tilesize, sub=None):
     T_full = nx * ny
     nbc = out_chunks.shape[0]
     # a tile's final state sits in its LAST chunk's slot; empty tiles (no
-    # chunks) take the zero state (acc 0, logT 0 -> T = 1)
+    # chunks) take the zero state (acc 0, logT 0 -> T = 1). Only the 5 rows
+    # the image needs (r, g, b, d, logT) are gathered — rows 5-7 are kernel
+    # bookkeeping the backward re-reads from out_chunks itself.
     last_chunk = bins.aligned_starts[1 : T_full + 1] // SCHUNK - 1
-    out = out_chunks[jnp.clip(last_chunk, 0, nbc - 1)]
+    out = out_chunks[:, 0:G_ROWS][jnp.clip(last_chunk, 0, nbc - 1)]
     # NaN-safe select (not multiply): an empty tile's gathered slot can land
     # in a skipped fully-sentinel block whose HBM is uninitialized garbage
     out = jnp.where((bins.counts > 0)[:, None, None], out, 0.0)
@@ -1669,9 +1668,8 @@ def _stream_gather_bwd(nx, ny, tilesize, sub, res, gout):
     # gathers of 8 KB rows); barriers keep the gathers unfused from their
     # producer chains (fused gathers serialize)
     tot_tile = jnp.sum(gout[:, 0:4, :] * fout[:, 0:4, :], axis=1, keepdims=True)
-    gout5 = gout[:, 0:G_ROWS, :]  # rows 5-7 are bookkeeping, cotangent 0
-    tile_c, gout5, tot_tile = jax.lax.optimization_barrier((tile_c, gout5, tot_tile))
-    gchunks = gout5[tile_c]
+    tile_c, gout, tot_tile = jax.lax.optimization_barrier((tile_c, gout, tot_tile))
+    gchunks = gout[tile_c]  # gout is already [T, G_ROWS, P]
     totchunks = tot_tile[tile_c]
     dT = _stream_bwd_impl(
         attrsT, bins.tile_of_chunk, bins.k_of_chunk, out_chunks,
