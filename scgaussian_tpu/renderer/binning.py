@@ -293,10 +293,10 @@ def bin_gaussians(
     # broadcast, the index relayout is ONE monotone unique-destination
     # scatter-set (the cheap direction on TPU), and the presort mapping
     # rides the existing inverse-permutation sort as an extra payload.
-    # `chunk` is the alignment granularity: 128 (== tile_raster.CHUNK) for
-    # the v2 flat kernels' manual DMA windows, 32 (== tile_raster.SCHUNK)
-    # for the v3 stream kernels (less intra-tile padding; the entry axis
-    # rides fp32 SUBLANES there, whose tile is 8).
+    # `chunk` is the alignment granularity: tile_raster.CHUNK for the v2
+    # flat kernels' manual DMA windows, tile_raster.SCHUNK (also 128 —
+    # narrower chunks measured slower, see STATUS) for the v3 stream
+    # kernels, whose entry axis rides fp32 lanes in SCHUNK-wide slices.
     if aligned_budget is None:
         aligned_budget = aligned_entry_budget(L, chunk)
     assert aligned_budget % (16 * chunk) == 0, "aligned_budget must divide stream blocks"

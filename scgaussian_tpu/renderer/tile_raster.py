@@ -1706,11 +1706,7 @@ def _stream_gather_bwd(nx, ny, tilesize, sub, res, gout):
         [d_attrs, jnp.zeros((n_attr - d_attrs.shape[0], NUM_ROWS), d_attrs.dtype)],
         axis=0,
     )
-
-    from jax.dtypes import float0
-
-    d_bins = jax.tree_util.tree_map(lambda x: np.zeros(x.shape, float0), bins)
-    return d_attrs, d_bins
+    return d_attrs, _zero_dbins(bins)
 
 
 stream_gather_composite.defvjp(_stream_gather_fwd, _stream_gather_bwd)
