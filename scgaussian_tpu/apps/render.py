@@ -61,6 +61,17 @@ def render_set(model_path, name, iteration, cameras, model, bg_color, backend="t
 
     for idx, cam in enumerate(cameras):
         out = render_model(cam.camera, model, jnp.asarray(bg_color), backend=backend)
+        # outside the training pipeline there is no regrow guard, so a
+        # truncated render must be loud (ADVICE round-3 #3): the default
+        # entry budget is sized for training-scale coverage and can clip
+        # dense scenes rendered directly.
+        ovf = int(out.overflow)
+        if ovf > 0:
+            print(
+                f"WARNING: view {idx}: rasterizer dropped {ovf} tile entries "
+                f"(entry budget too small) — the image is truncated; re-run "
+                f"with a larger RasterizerConfig.entry_budget"
+            )
         rendering = np.asarray(jnp.clip(out.render, 0, 1))
         depth = np.asarray(out.rendered_depth)[0]
         rng = depth.max() - depth.min()

