@@ -66,7 +66,6 @@ class RasterizerConfig:
     allocates dynamically). Static shapes -> recompile only when changed."""
 
     tile: int = 16
-    max_per_tile: int = 1024
     # None => renderer.binning.default_entry_budget(N) (pow2 >= 4N); the
     # training pipeline's capacity guard doubles this (one recompile) if a
     # step ever reports truncated entries, so rendering is never silently

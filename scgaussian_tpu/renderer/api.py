@@ -50,10 +50,8 @@ def render(
     mean2d_offset: Optional[jnp.ndarray] = None,
     backend: str = "tpu",
     tile: int = oracle_mod.TILE,
-    max_per_tile: int = 1024,
     entry_budget: Optional[int] = None,
     aligned_budget: Optional[int] = None,
-    flat: bool = True,
     ptile: Optional[int] = None,
 ) -> RenderOutput:
     """Render one view. `backend` is "tpu" (Pallas kernels) or "oracle"."""
@@ -86,10 +84,8 @@ def render(
             camera.height,
             bg_color,
             tile=tile,
-            max_per_tile=max_per_tile,
             entry_budget=entry_budget,
             aligned_budget=aligned_budget,
-            flat=flat,
             ptile=ptile,
         )
     else:

@@ -69,6 +69,10 @@ class TileBins:
     # so tile_of_chunk[c + 1] != tile_of_chunk[c] marks a tile's last chunk)
     k_of_chunk: jnp.ndarray  # [nbc] int32: chunk index within its tile's
     # segment (0 == segment head); 1 on sentinel chunks (never a head)
+    row_offset: jnp.ndarray  # [] int32: global processing-grid row of this
+    # bin set's row 0 (nonzero only under tile-row sharding, where each
+    # device bins a contiguous row slice of the grid; tile ids here are
+    # LOCAL — global tile = local + row_offset * nx)
 
 
 def default_entry_budget(n: int, ptile_factor: int = 1) -> int:
@@ -80,7 +84,15 @@ def default_entry_budget(n: int, ptile_factor: int = 1) -> int:
     ~0.5x per doubling at 1080p/4K). Training auto-regrows on overflow (the
     guard in train/pipeline.py), so a tight default costs at most one
     recompile instead of silently truncating — the reference CUDA pipeline
-    sizes this buffer exactly per frame and never truncates."""
+    sizes this buffer exactly per frame and never truncates.
+
+    CAVEAT (ADVICE round-3 #3): the ~0.5x-per-ptile-doubling coverage model
+    holds for EWA-typical multi-tile splats; scenes dominated by sub-tile
+    splats keep near-N entries regardless of ptile, so the halved default is
+    tighter than the old 4N one there. Direct render() callers have no
+    regrow guard — RenderOutput.overflow reports the truncation and the
+    render/render_video CLIs warn loudly on it; raise entry_budget when it
+    fires."""
     want = max(4 * n // max(ptile_factor, 1), 1 << 14)
     return 1 << (want - 1).bit_length()
 
@@ -143,6 +155,8 @@ def bin_gaussians(
     chunk: int = 128,
     aligned_budget: int | None = None,
     ptile: int | None = None,
+    row_lo=None,
+    ny_rows: int | None = None,
 ) -> TileBins:
     """Bin Gaussians into (processing-)tile entry ranges.
 
@@ -152,13 +166,26 @@ def bin_gaussians(
     count ~2-3x — every [L]-scale sort/gather/scatter here scales down with
     it — while the compositing kernels recover exact semantic-tile CUDA
     semantics from the per-Gaussian rect rows in the attribute stream
-    (tile_raster ROW_RECTX/ROW_RECTY)."""
+    (tile_raster ROW_RECTX/ROW_RECTY).
+
+    `row_lo`/`ny_rows` restrict binning to processing-grid rows
+    [row_lo, row_lo + ny_rows): only entries touching that row slice are
+    emitted and tile ids are LOCAL to it (row_offset records row_lo). This
+    is the tile-row sharding hook (parallel/tiles.py): each device of a
+    mesh bins + composites its own contiguous row slice. `row_lo` may be a
+    traced scalar (e.g. axis_index * rows_per_device); `ny_rows` is static.
+    Per-tile entry sets, depth order and chunk alignment are identical to
+    an unrestricted bin of the same grid, so sharded compositing is
+    bitwise-equal per tile."""
     if ptile is None:
         ptile = tile
     assert ptile % tile == 0 and (ptile // tile).bit_count() == 1
     fshift = (ptile // tile).bit_length() - 1
     nx = (width + ptile - 1) // ptile
     ny = (height + ptile - 1) // ptile
+    if row_lo is not None:
+        assert ny_rows is not None
+        ny = ny_rows
     num_tiles = nx * ny
     n = proj.depth.shape[0]
     L = entry_budget
@@ -202,6 +229,14 @@ def bin_gaussians(
         rect_min = rect_min >> fshift
         rect_max = (rect_max + ((1 << fshift) - 1)) >> fshift
         rect_max = jnp.where(empty[:, None], rect_min, rect_max)
+    if row_lo is not None:
+        # clamp the rect's row span to this shard's slice and relabel rows
+        # locally; clip is monotone so max >= min is preserved (cov_y >= 0)
+        lo = jnp.asarray(row_lo, jnp.int32)
+        rmin_y = jnp.clip(rect_min[:, 1], lo, lo + ny_rows) - lo
+        rmax_y = jnp.clip(rect_max[:, 1], lo, lo + ny_rows) - lo
+        rect_min = jnp.stack([rect_min[:, 0], rmin_y], axis=1)
+        rect_max = jnp.stack([rect_max[:, 0], rmax_y], axis=1)
     cov_w = rect_max[:, 0] - rect_min[:, 0]
     cov = cov_w * (rect_max[:, 1] - rect_min[:, 1])  # [N] tiles covered
     # CUDA emits duplicates only for radii > 0 (the rect of a culled
@@ -400,4 +435,9 @@ def bin_gaussians(
         aligned_pos_of_presort=aligned_pos_of_presort,
         tile_of_chunk=tile_of_chunk,
         k_of_chunk=k_of_chunk,
+        row_offset=(
+            jnp.asarray(row_lo, jnp.int32)
+            if row_lo is not None
+            else jnp.int32(0)
+        ),
     )

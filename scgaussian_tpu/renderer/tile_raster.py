@@ -17,17 +17,22 @@ blend into dense matrix work:
 Transmittance is monotone non-increasing, so the CUDA early-stop rule ("the
 Gaussian that would push T below 1e-4 and everything after it is excluded")
 reduces to the `include` mask. Accumulation of RGB+depth is another matmul
-(w @ attrs). Chunks of 128 splats are pipelined per tile; a scalar-prefetched
-per-tile count bounds the chunk loop so empty tiles cost nothing.
+(w @ attrs).
 
-Layouts: per-tile splat data is [T, 12, K] (attribute rows, splat lanes);
-all in-kernel compute is [P=tile^2 (sublanes), C=128 (lanes)] so no
-transposes are needed in either direction.
+The shipped path is the v3 STREAM kernels (`stream_gather_composite`): the
+segment-aligned entry stream from binning is walked in SCHUNK=128-entry
+chunks on a BlockSpec-pipelined grid, every chunk's quadratic form is ONE
+fused MXU matmul against a pixel basis, and the backward is CARRY-FREE
+(forward state saved per chunk slot; strict suffixes as total - prefix) with
+a scatter-free entry->Gaussian gradient reduction (cumsum segment
+differences, or one lax.sort route at dense scale). A coarser PROCESSING
+tile (`ptile`, default 32) shrinks every [L]-scale binning op while the
+kernels replay exact 16px SEMANTIC tile rect membership per pixel from
+packed rect rows.
 
-The backward pass (CUDA-convention gradients, see `_bwd_kernel`) recomputes
-the forward quantities in two chunk passes (total-then-grads) instead of
-storing per-splat state — the same recompute-transmittance trick as the CUDA
-backward, but with suffix sums expressed as `total - prefix`.
+Earlier generations (v1 padded [T, R, K] gather kernels; v2 flat manual-DMA
+kernels) were deleted after the stream path subsumed them — see git history
+and STATUS.md for their measured costs.
 """
 
 from __future__ import annotations
@@ -67,162 +72,6 @@ OUT_R, OUT_G, OUT_B, OUT_D, OUT_LOGT, OUT_LASTP, OUT_DONE = 0, 1, 2, 3, 4, 5, 6
 G_ROWS = OUT_LOGT + 1  # cotangent rows the backward consumes (r,g,b,d,logT)
 
 
-def _pix_coords(tile_id, nx: int, tilesize: int, P: int):
-    base_x = (tile_id % nx) * tilesize
-    base_y = (tile_id // nx) * tilesize
-    p = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    pixx = (base_x + p % tilesize).astype(jnp.float32)
-    pixy = (base_y + p // tilesize).astype(jnp.float32)
-    return pixx, pixy
-
-
-def _chunk_geometry(data_ref, sl, pixx, pixy):
-    """Shared per-chunk alpha computation; slices the [1, NUM_ROWS, K] ref."""
-    mx = data_ref[0, ROW_MX : ROW_MX + 1, sl]  # [1, C]
-    my = data_ref[0, ROW_MY : ROW_MY + 1, sl]
-    ca = data_ref[0, ROW_CA : ROW_CA + 1, sl]
-    cb = data_ref[0, ROW_CB : ROW_CB + 1, sl]
-    cc = data_ref[0, ROW_CC : ROW_CC + 1, sl]
-    op = data_ref[0, ROW_OP : ROW_OP + 1, sl]
-    dx = mx - pixx  # [P, C]
-    dy = my - pixy
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    G = jnp.exp(power)
-    alpha_raw = op * G
-    alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
-    # float 0/1 masks throughout: i1 vectors in loop carries fail to legalize
-    # in Mosaic (scf.for legalization error on the tunneled toolchain)
-    live = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), 1.0, 0.0)
-    alpha = alpha * live
-    return dx, dy, ca, cb, cc, op, G, alpha, live
-
-
-def _fwd_kernel(nx: int, tilesize: int, counts_ref, tids_ref, tri_ref, data_ref, out_ref):
-    P = tilesize * tilesize
-    t = pl.program_id(0)
-    cnt = counts_ref[t]
-    # global tile id (differs from t under tile sharding)
-    pixx, pixy = _pix_coords(tids_ref[t], nx, tilesize, P)
-    nchunks = pl.cdiv(cnt, CHUNK)
-
-    def body(k, carry):
-        logT, done, acc = carry
-        sl = pl.ds(pl.multiple_of(k * CHUNK, CHUNK), CHUNK)
-        *_, alpha, live = _chunk_geometry(data_ref, sl, pixx, pixy)
-        l = jnp.log1p(-alpha)  # [P, C]
-        S = jnp.dot(l, tri_ref[:], preferred_element_type=jnp.float32)
-        logT_after = logT + S
-        # Sticky CUDA early-stop: within the chunk, carry+S is non-increasing
-        # so the per-column test reproduces "first crossing excludes the rest";
-        # `done` (float 0/1) propagates the crossing across chunk boundaries.
-        inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done)
-        T_before = jnp.exp(logT_after - l)
-        w = alpha * T_before * inc
-        attrs = data_ref[0, ROW_R : ROW_D + 1, sl]  # [4, C] rgb + depth
-        acc = acc + jax.lax.dot_general(
-            w, attrs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        logT = logT + jnp.sum(l * inc, axis=1, keepdims=True)
-        done = jnp.maximum(
-            done, jnp.where(logT_after[:, CHUNK - 1 :] < LOG_T_EPS, 1.0, 0.0)
-        )
-        return logT, done, acc
-
-    logT0 = jnp.zeros((P, 1), jnp.float32)
-    done0 = jnp.zeros((P, 1), jnp.float32)
-    acc0 = jnp.zeros((P, 4), jnp.float32)
-    logT, _, acc = jax.lax.fori_loop(0, nchunks, body, (logT0, done0, acc0))
-    out = jnp.concatenate(
-        [acc, logT, jnp.zeros((P, 3), jnp.float32)], axis=1
-    )  # [P, 8]
-    out_ref[0] = out
-
-
-def _bwd_kernel(nx: int, tilesize: int, counts_ref, tids_ref, tri_ref, data_ref, gout_ref, ddata_ref):
-    P = tilesize * tilesize
-    t = pl.program_id(0)
-    cnt = counts_ref[t]
-    pixx, pixy = _pix_coords(tids_ref[t], nx, tilesize, P)
-    g_attrs = gout_ref[0, :, 0:4]  # cotangents for premultiplied rgb + depth
-    g_logT = gout_ref[0, :, 4:5]
-    nchunks = pl.cdiv(cnt, CHUNK)
-
-    ddata_ref[0, :, :] = jnp.zeros(ddata_ref.shape[1:], jnp.float32)
-
-    def common(k, logT, done):
-        sl = pl.ds(pl.multiple_of(k * CHUNK, CHUNK), CHUNK)
-        dx, dy, ca, cb, cc, op, G, alpha, live = _chunk_geometry(data_ref, sl, pixx, pixy)
-        l = jnp.log1p(-alpha)
-        S = jnp.dot(l, tri_ref[:], preferred_element_type=jnp.float32)
-        logT_after = logT + S
-        inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done)
-        T_before = jnp.exp(logT_after - l)
-        w = alpha * T_before * inc
-        attrs = data_ref[0, ROW_R : ROW_D + 1, sl]
-        # g_w[p, c] = sum_ch g_attrs[p, ch] * attrs[ch, c]
-        g_w = jnp.dot(g_attrs, attrs, preferred_element_type=jnp.float32)
-        logT_next = logT + jnp.sum(l * inc, axis=1, keepdims=True)
-        done_next = jnp.maximum(
-            done, jnp.where(logT_after[:, CHUNK - 1 :] < LOG_T_EPS, 1.0, 0.0)
-        )
-        return (
-            sl, dx, dy, ca, cb, cc, op, G, alpha, live, inc, T_before, w, g_w,
-            logT_next, done_next,
-        )
-
-    # Pass 1: total per-pixel sum of g_w * w (for suffix sums A_i = total - prefix_i).
-    def body1(k, carry):
-        logT, done, total = carry
-        *_, w, g_w, logT_next, done_next = common(k, logT, done)
-        total = total + jnp.sum(g_w * w, axis=1, keepdims=True)
-        return logT_next, done_next, total
-
-    logT0 = jnp.zeros((P, 1), jnp.float32)
-    done0 = jnp.zeros((P, 1), jnp.float32)
-    _, _, total = jax.lax.fori_loop(
-        0, nchunks, body1, (logT0, done0, jnp.zeros((P, 1), jnp.float32))
-    )
-
-    # Pass 2: per-splat gradients.
-    def body2(k, carry):
-        logT, done, prefix = carry
-        (sl, dx, dy, ca, cb, cc, op, G, alpha, live, inc, T_before, w, g_w,
-         logT_next, done_next) = common(k, logT, done)
-        gww = g_w * w  # [P, C]
-        prefix_inc = prefix + jnp.dot(gww, tri_ref[:], preferred_element_type=jnp.float32)
-        A = total - prefix_inc  # suffix sum over j > i of g_w_j w_j
-        one_m = 1.0 - alpha
-        d_alpha = (g_w * T_before - (A + g_logT) / one_m) * inc * live
-        # CUDA-convention: the 0.99 cap is ignored in the backward pass
-        # (backward.cu uses dL_dG = opacity * dL_dalpha, dL_dopacity = G * dL_dalpha).
-        d_op = G * d_alpha
-        d_power = op * d_alpha * G
-        d_ca = d_power * (-0.5 * dx * dx)
-        d_cb = d_power * (-dx * dy)
-        d_cc = d_power * (-0.5 * dy * dy)
-        d_mx = d_power * (-(ca * dx + cb * dy))
-        d_my = d_power * (-(cc * dy + cb * dx))
-        # attr grads: d_attrs[ch, c] = sum_p g_attrs[p, ch] * w[p, c]
-        d_attrs = jax.lax.dot_general(
-            g_attrs, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [4, C]
-
-        def rowsum(x):
-            return jnp.sum(x, axis=0, keepdims=True)  # [1, C]
-
-        ddata_ref[0, ROW_MX : ROW_MX + 1, sl] = rowsum(d_mx)
-        ddata_ref[0, ROW_MY : ROW_MY + 1, sl] = rowsum(d_my)
-        ddata_ref[0, ROW_CA : ROW_CA + 1, sl] = rowsum(d_ca)
-        ddata_ref[0, ROW_CB : ROW_CB + 1, sl] = rowsum(d_cb)
-        ddata_ref[0, ROW_CC : ROW_CC + 1, sl] = rowsum(d_cc)
-        ddata_ref[0, ROW_R : ROW_D + 1, sl] = d_attrs
-        ddata_ref[0, ROW_OP : ROW_OP + 1, sl] = rowsum(d_op)
-        prefix = prefix + jnp.sum(gww, axis=1, keepdims=True)
-        return logT_next, done_next, prefix
-
-    jax.lax.fori_loop(0, nchunks, body2, (logT0, done0, jnp.zeros((P, 1), jnp.float32)))
-
-
 def _tri_matrix(size: int = CHUNK) -> jnp.ndarray:
     """Upper-triangular (inclusive) ones: TRI[j, i] = 1 if j <= i, so that
     (L @ TRI)[p, i] = inclusive prefix sum of L along lanes."""
@@ -234,149 +83,6 @@ def _use_interpret() -> bool:
     # Compiled Mosaic on real TPU platforms (incl. the tunneled "axon"
     # platform); interpret mode only on CPU (unit tests).
     return jax.default_backend() == "cpu"
-
-
-def _composite_fwd_impl(tile_data, counts, nx, ny, tilesize, tile_ids=None):
-    T, _, K = tile_data.shape
-    P = tilesize * tilesize
-    if tile_ids is None:
-        tile_ids = jnp.arange(T, dtype=jnp.int32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((CHUNK, CHUNK), lambda i, c, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NUM_ROWS, K), lambda i, c, t: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, P, 8), lambda i, c, t: (i, 0, 0), memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, nx, tilesize),
-        out_shape=jax.ShapeDtypeStruct((T, P, 8), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=_use_interpret(),
-    )(counts, tile_ids, _tri_matrix(), tile_data)
-
-
-def _composite_bwd_impl(tile_data, counts, gout, nx, ny, tilesize, tile_ids=None):
-    T, _, K = tile_data.shape
-    P = tilesize * tilesize
-    if tile_ids is None:
-        tile_ids = jnp.arange(T, dtype=jnp.int32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((CHUNK, CHUNK), lambda i, c, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NUM_ROWS, K), lambda i, c, t: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 8), lambda i, c, t: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, NUM_ROWS, K), lambda i, c, t: (i, 0, 0), memory_space=pltpu.VMEM),
-    )
-    ddata = pl.pallas_call(
-        functools.partial(_bwd_kernel, nx, tilesize),
-        out_shape=jax.ShapeDtypeStruct((T, NUM_ROWS, K), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=_use_interpret(),
-    )(counts, tile_ids, _tri_matrix(), tile_data, gout)
-    return ddata
-
-
-# --------------------------------------------------------------------------
-# gather + composite with a scatter-free custom VJP
-#
-# Forward: ONE [L]-row gather (attrs by sorted entry -> sorted_attrs) plus a
-# contiguous-range gather (per-tile [start, start+K) slices -> tile_data),
-# then the Pallas kernel. Backward: the kernel's per-entry grads are routed
-# back to per-Gaussian grads without any duplicate-index scatter-add:
-#   entry grads -> (gather) tile-sorted order -> (unique-index permutation
-#   scatter) gaussian-major order -> cumsum + segment-difference -> grads per
-#   depth rank -> (gather by inv_order) grads per Gaussian.
-# Scatter-adds with duplicate indices are pathologically slow on TPU; the
-# only scatter left is a permutation (unique indices), and the reduction
-# over each Gaussian's covered tiles is a cumsum difference over its
-# CONTIGUOUS gaussian-major segment (binning emits entries gaussian-major).
-# --------------------------------------------------------------------------
-
-
-def _build_tile_data(attrs, bins, num_tiles, K):
-    L = bins.orig_idx_sorted.shape[0]
-    sorted_attrs = attrs[bins.orig_idx_sorted]  # [L, R]
-    k = jnp.arange(K, dtype=jnp.int32)
-    dest = bins.starts[:num_tiles, None] + k[None, :]  # [T, K]
-    valid_k = k[None, :] < jnp.minimum(bins.counts, K)[:, None]
-    rows = sorted_attrs[jnp.clip(dest, 0, L - 1)]  # [T, K, R]
-    rows = rows * valid_k[..., None]
-    return rows.transpose(0, 2, 1), valid_k  # [T, R, K]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def gather_composite(attrs, bins, nx, ny, tilesize, K):
-    tile_data, _ = _build_tile_data(attrs, bins, nx * ny, K)
-    counts = jnp.minimum(bins.counts, K)
-    return _composite_fwd_impl(tile_data, counts, nx, ny, tilesize)
-
-
-def _gather_composite_fwd(attrs, bins, nx, ny, tilesize, K):
-    tile_data, valid_k = _build_tile_data(attrs, bins, nx * ny, K)
-    counts = jnp.minimum(bins.counts, K)
-    out = _composite_fwd_impl(tile_data, counts, nx, ny, tilesize)
-    return out, (tile_data, counts, valid_k, bins, attrs.shape[0])
-
-
-def _gather_composite_bwd(nx, ny, tilesize, K, res, gout):
-    tile_data, counts, valid_k, bins, n_attr = res
-    T = nx * ny
-    L = bins.orig_idx_sorted.shape[0]
-    R = NUM_ROWS
-
-    ddata = _composite_bwd_impl(tile_data, counts, gout, nx, ny, tilesize)
-    d_rows = ddata.transpose(0, 2, 1) * valid_k[..., None]  # [T, K, R]
-    d_rows = d_rows.reshape(T * K, R)
-
-    # sorted entry e -> flat (t, k) slot in d_rows. (scatter-ones + cumsum
-    # instead of searchsorted: binary search = log2(L) serialized 1D gathers,
-    # ~1ms each on TPU.)
-    e = jnp.arange(L, dtype=jnp.int32)
-    marks = jnp.zeros((L,), jnp.int32).at[bins.starts].add(1, mode="drop")
-    t = jnp.cumsum(marks) - 1  # == searchsorted(starts, e, 'right') - 1
-    t_ok = (t >= 0) & (t < T)
-    t_c = jnp.clip(t, 0, T - 1)
-    k = e - bins.starts[t_c]
-    k_ok = (k >= 0) & (k < K)
-    flat = jnp.clip(t_c * K + k, 0, T * K - 1)
-    d_sorted = d_rows[flat] * (t_ok & k_ok)[:, None].astype(d_rows.dtype)  # [L, R]
-
-    # tile-sorted -> gaussian-major via the (unique) presort permutation
-    # tile-sorted -> gaussian-major via the precomputed inverse permutation
-    # (a gather; row scatters cost ~45 ms at L=800k on TPU)
-    d_presort = d_sorted[bins.sorted_pos_of_presort]
-
-    # per-Gaussian reduction over its contiguous segment: cumsum difference
-    csum = jnp.cumsum(d_presort, axis=0)  # [L, R]
-    seg_end = jnp.clip(bins.seg_offsets + bins.seg_counts - 1, 0, L - 1)
-    end_vals = csum[seg_end]  # [N, R]
-    start_prev = jnp.where(
-        (bins.seg_offsets > 0)[:, None],
-        csum[jnp.clip(bins.seg_offsets - 1, 0, L - 1)],
-        0.0,
-    )
-    sums_rank = jnp.where((bins.seg_counts > 0)[:, None], end_vals - start_prev, 0.0)
-
-    d_attrs = sums_rank[bins.inv_order]  # [N, R] back to original order
-    d_attrs = jnp.concatenate(
-        [d_attrs, jnp.zeros((n_attr - d_attrs.shape[0], R), d_attrs.dtype)], axis=0
-    )
-
-    from jax.dtypes import float0
-
-    d_bins = jax.tree_util.tree_map(
-        lambda x: np.zeros(x.shape, float0), bins
-    )
-    return d_attrs, d_bins
-
-
-gather_composite.defvjp(_gather_composite_fwd, _gather_composite_bwd)
 
 
 def attrs_matrix(
@@ -438,40 +144,36 @@ def rasterize(
     height: int,
     bg_color: jnp.ndarray,
     tile: int = 16,
-    max_per_tile: int = 1024,
     entry_budget: int | None = None,
     aligned_budget: int | None = None,
-    flat: bool = True,
     ptile: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Full tile pipeline: bin (XLA) -> gather -> Pallas composite -> assemble.
+    """Full tile pipeline: bin (XLA) -> stream Pallas composite -> assemble.
 
     Returns (color [3,H,W], depth [1,H,W], alpha [1,H,W], overflow [] int32);
     overflow counts tile entries dropped because they exceeded entry_budget
     (0 == exact CUDA unbudgeted semantics). Gradients flow to all
     differentiable projected attributes through the scatter-free custom VJP
-    of gather_composite.
+    of stream_gather_composite.
 
     `tile` is the SEMANTIC tile (CUDA's 16px rect-membership grid); `ptile`
-    (stream path only, default == tile) is the coarser PROCESSING tile —
-    entries, sorts and gathers run on the ptile grid (~2-3x fewer of them at
-    ptile 32) while the kernels replay the semantic rect test per pixel from
-    the packed rect rows, keeping the output semantically identical to
-    `tile` semantics (within fp noise at the 1/255 alpha threshold).
+    (default == tile) is the coarser PROCESSING tile — entries, sorts and
+    gathers run on the ptile grid (~2-3x fewer of them at ptile 32) while
+    the kernels replay the semantic rect test per pixel from the packed
+    rect rows, keeping the output semantically identical to `tile`
+    semantics (within fp noise at the 1/255 alpha threshold).
     """
     from scgaussian_tpu.renderer.binning import bin_gaussians, default_entry_budget
 
     if ptile is None:
         ptile = tile
-    assert flat or ptile == tile, "ptile != tile requires the stream path"
     n = proj.depth.shape[0]
     if entry_budget is None:
         entry_budget = default_entry_budget(n, ptile // tile)
-    # the stream (flat=True) path aligns tile segments at SCHUNK granularity;
-    # the v2/v1 fallbacks keep CHUNK-aligned windows for their manual DMAs
+    # the stream kernels align tile segments at SCHUNK granularity
     bins = bin_gaussians(
         proj, width, height, tile, entry_budget,
-        chunk=SCHUNK if flat else CHUNK,
+        chunk=SCHUNK,
         aligned_budget=aligned_budget,
         ptile=ptile,
     )
@@ -481,87 +183,46 @@ def rasterize(
     sub = tile if ptile != tile else None
     attrs = attrs_matrix(proj, width=width, height=height, sem_tile=sub)
 
-    if flat:
-        # [T, 5, P]: exactly the rows the image needs (r, g, b, d, logT)
-        out5 = stream_gather_composite(attrs, bins, nx, ny, ptile, sub)
-        ch = OUT_LOGT + 1
-        if sub is None:
-            img5 = (
-                out5.reshape(ny, nx, ch, ptile, ptile)
-                .transpose(2, 0, 3, 1, 4)
-                .reshape(ch, ny * ptile, nx * ptile)[:, :height, :width]
-            )  # channels-first directly — no final transpose
-        else:
-            # sub-tile pixel order (qy, qx, sub, sub) — see _pix_basis.
-            # PER-CHANNEL 6-axis untiles + one stack: the one-shot 7-axis
-            # channel-first transpose lowers to a T(2,128)-layout copy chain
-            # (9.5 ms at dense 4K); the per-channel form measures 4.2 ms.
-            ns = ptile // sub
-            img5 = jnp.stack(
-                [
-                    out5[:, c, :]
-                    .reshape(ny, nx, ns, ns, sub, sub)
-                    .transpose(0, 2, 4, 1, 3, 5)
-                    .reshape(ny * ptile, nx * ptile)
-                    for c in range(ch)
-                ],
-                axis=0,
-            )[:, :height, :width]
-        acc_rgb = img5[OUT_R : OUT_B + 1]  # [3, H, W]
-        acc_d = img5[OUT_D]
-        T_fin = jnp.exp(img5[OUT_LOGT])
-        color_out = acc_rgb + T_fin[None] * bg_color[:, None, None]
-        return color_out, acc_d[None], (1.0 - T_fin)[None], bins.overflow
-
-    out = gather_composite(attrs, bins, nx, ny, tile, max_per_tile)
-    img = out.reshape(ny, nx, tile, tile, 8).transpose(0, 2, 1, 3, 4)
-    img = img.reshape(ny * tile, nx * tile, 8)[:height, :width]
-    acc_rgb = img[..., OUT_R : OUT_B + 1]  # [H, W, 3]
-    acc_d = img[..., OUT_D]
-    T_fin = jnp.exp(img[..., OUT_LOGT])
-    color_out = acc_rgb + T_fin[..., None] * bg_color[None, None, :]
-    return (
-        color_out.transpose(2, 0, 1),
-        acc_d[None],
-        (1.0 - T_fin)[None],
+    # [T, 5, P]: exactly the rows the image needs (r, g, b, d, logT)
+    out5 = stream_gather_composite(attrs, bins, nx, ny, ptile, sub, None)
+    return assemble_image(out5, bg_color, nx, ny, ptile, sub, width, height) + (
         bins.overflow,
     )
 
 
-# --------------------------------------------------------------------------
-# v2 "flat" kernels: per-tile entry ranges are DMA'd straight from the
-# SEGMENT-ALIGNED [NUM_ROWS, L_pad] attribute array in HBM (binning step 5)
-# — no padded [T, K] tile_data is ever materialized. This removes the
-# dominant cost at dense resolutions (the [T*K]-row gather + its memory
-# traffic: 400 MB at 1080p with K=1024 vs ~60 MB of aligned entries) AND
-# the per-tile K cap, restoring exact CUDA semantics for arbitrarily deep
-# tiles. Every CHUNK window belongs to exactly one tile, so the kernels
-# carry no in-segment masks and the backward's gradient windows are plain
-# exclusive double-buffered writes. Input chunks are double-buffered.
-# --------------------------------------------------------------------------
+def assemble_image(out5, bg_color, nx, ny, ptile, sub, width, height):
+    """Untile [T, 5, P] stream-kernel output into (color [3,H,W],
+    depth [1,H,W], alpha [1,H,W])."""
+    ch = OUT_LOGT + 1
+    if sub is None:
+        img5 = (
+            out5.reshape(ny, nx, ch, ptile, ptile)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(ch, ny * ptile, nx * ptile)[:, :height, :width]
+        )  # channels-first directly — no final transpose
+    else:
+        # sub-tile pixel order (qy, qx, sub, sub) — see _pix_basis.
+        # PER-CHANNEL 6-axis untiles + one stack: the one-shot 7-axis
+        # channel-first transpose lowers to a T(2,128)-layout copy chain
+        # (9.5 ms at dense 4K); the per-channel form measures 4.2 ms.
+        ns = ptile // sub
+        img5 = jnp.stack(
+            [
+                out5[:, c, :]
+                .reshape(ny, nx, ns, ns, sub, sub)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(ny * ptile, nx * ptile)
+                for c in range(ch)
+            ],
+            axis=0,
+        )[:, :height, :width]
+    acc_rgb = img5[OUT_R : OUT_B + 1]  # [3, H, W]
+    acc_d = img5[OUT_D]
+    T_fin = jnp.exp(img5[OUT_LOGT])
+    color_out = acc_rgb + T_fin[None] * bg_color[:, None, None]
+    return color_out, acc_d[None], (1.0 - T_fin)[None]
 
 
-def _flat_rows(buf, slot):
-    """Row accessors for the [2, NUM_ROWS, CHUNK] VMEM chunk buffer."""
-
-    def row(r):
-        return buf[slot, r : r + 1, :]  # [1, C]
-
-    return row
-
-
-# The Gaussian falloff power = -0.5(ca dx^2 + cc dy^2) - cb dx dy is a
-# quadratic polynomial in the pixel coordinate, so the [P, C] evaluation is
-# ONE MXU matmul  power = PixBasis[P, 8] @ Coef[8, C]  instead of ~12 VPU
-# ops per pixel-splat pair; the backward's per-splat row sums
-# rowsum_p(d_power * poly(px, py)) likewise become ONE matmul
-# M = PixBasis^T @ d_power plus [1, C] chain rule. Coordinates are
-# TILE-LOCAL (px in [0, tile), mx - tile_origin) to bound the fp32
-# cancellation of the expansion; the residual noise (~1e-5 in power) is
-# guarded by POWER_EPS + clamping G = exp(min(power, 0)) so a splat's
-# center pixel (analytically power == 0 for any PD conic) can never be
-# dropped by rounding. CUDA evaluates dx directly (forward.cu renderCUDA);
-# semantics agree to ~1e-4 relative in alpha.
 POWER_EPS = 1e-4
 _NQ = 8  # quadratic basis rows [1, px, py, px^2, px*py, py^2, 0, 0]
 
@@ -595,404 +256,6 @@ def _pix_basis(tilesize: int, P: int, sub: int | None = None):
     )  # [P, _NQ]
 
 
-def _flat_chunk_geometry(buf, slot, bx, by, pixb):
-    """Chunk windows are SEGMENT-ALIGNED (each belongs to exactly one tile;
-    binning.aligned_starts) so no in-segment masking is needed: pad slots
-    gather the zero sentinel attribute row whose opacity 0 fails the
-    ALPHA_MIN test. bx/by are the tile origin in pixels; pixb is the
-    quadratic pixel basis from _pix_basis."""
-    row = _flat_rows(buf, slot)
-    mx = row(ROW_MX) - bx  # tile-local [1, C]
-    my = row(ROW_MY) - by
-    ca, cb, cc = row(ROW_CA), row(ROW_CB), row(ROW_CC)
-    op = row(ROW_OP)
-    a1 = ca * mx + cb * my
-    a2 = cc * my + cb * mx
-    a0 = -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my
-    zero = jnp.zeros_like(a0)
-    coef = jnp.concatenate(
-        [a0, a1, a2, -0.5 * ca, -cb, -0.5 * cc, zero, zero], axis=0
-    )  # [_NQ, C]
-    power = jnp.dot(pixb, coef, preferred_element_type=jnp.float32)  # [P, C]
-    G = jnp.exp(jnp.minimum(power, 0.0))
-    alpha = jnp.minimum(ALPHA_MAX, op * G)
-    live = jnp.where((power <= POWER_EPS) & (alpha >= ALPHA_MIN), 1.0, 0.0)
-    alpha = alpha * live
-    # [8, C]: (r, g, b, d, 0, 0, 0, 0) — the zero tail rows make this a
-    # direct matmul operand for the [P, 8] output accumulator
-    attrs8 = buf[slot, ROW_R : ROW_R + 8, :]
-    return mx, my, ca, cb, cc, op, G, alpha, live, attrs8
-
-
-# Tiles composited per Pallas program (static unroll). The per-program grid
-# overhead (output-block DMA orchestration + Mosaic loop prologue) measures
-# ~0.7 us on v5e — 5.7 ms across a bare 8160-tile 1080p grid, ~40% of the
-# whole forward kernel — so amortizing it over GROUP tiles is the single
-# biggest kernel win. Entries of consecutive tiles are contiguous in the
-# sorted attribute stream, so grouping costs nothing in DMA locality.
-GROUP = 8
-
-
-def _flat_fwd_kernel(
-    nx: int, tilesize: int,
-    counts_ref, starts_ref, tids_ref,
-    tri_ref, pixb_ref, attrsT_ref,
-    out_ref,
-    buf, sems,
-):
-    P = tilesize * tilesize
-    i = pl.program_id(0)
-    pixb = pixb_ref[:]
-    for g in range(GROUP):
-        _flat_fwd_tile(
-            nx, tilesize, P, i * GROUP + g, g,
-            counts_ref, starts_ref, tids_ref, tri_ref, attrsT_ref,
-            out_ref, buf, sems, pixb,
-        )
-
-
-def _flat_fwd_tile(
-    nx, tilesize, P, t, g,
-    counts_ref, starts_ref, tids_ref, tri_ref, attrsT_ref,
-    out_ref, buf, sems, pixb,
-):
-    cnt = counts_ref[t]
-    # segment-aligned layout: the tile's windows [start, start + cnt_pad)
-    # are CHUNK-multiples and exclusively owned (binning.aligned_starts)
-    start = pl.multiple_of(starts_ref[t], CHUNK)
-    tid = tids_ref[t]
-    bx = ((tid % nx) * tilesize).astype(jnp.float32)
-    by = ((tid // nx) * tilesize).astype(jnp.float32)
-    nchunks = pl.cdiv(cnt, CHUNK)
-
-    def in_dma(k, slot):
-        return pltpu.make_async_copy(
-            attrsT_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
-            buf.at[slot],
-            sems.at[slot],
-        )
-
-    @pl.when(nchunks > 0)
-    def _():
-        in_dma(0, 0).start()
-
-    def body(k, carry):
-        logT, done, acc, lastp = carry
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(k + 1 < nchunks)
-        def _():
-            in_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
-
-        in_dma(k, slot).wait()
-        *_, alpha, live, attrs8 = _flat_chunk_geometry(buf, slot, bx, by, pixb)
-        l = jnp.log1p(-alpha)
-        S = jnp.dot(l, tri_ref[:], preferred_element_type=jnp.float32)
-        logT_after = logT + S
-        inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done)
-        T_before = jnp.exp(logT_after - l)
-        w = alpha * T_before * inc
-        # acc is the [P, 8] OUTPUT-layout accumulator: attrs8's zero tail
-        # rows keep cols 4-7 at zero until logT/lastp are stored below
-        acc = acc + jax.lax.dot_general(
-            w, attrs8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        logT = logT + jnp.sum(l * inc, axis=1, keepdims=True)
-        done = jnp.maximum(
-            done, jnp.where(logT_after[:, CHUNK - 1 :] < LOG_T_EPS, 1.0, 0.0)
-        )
-        # per-pixel 1-based position (within the tile segment) of the last
-        # contributing splat — consumed by the single-pass reverse backward
-        pos1 = (
-            k * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + 1
-        ).astype(jnp.float32)
-        lastp = jnp.maximum(
-            lastp,
-            jnp.max(pos1 * jnp.where(alpha > 0.0, inc, 0.0), axis=1, keepdims=True),
-        )
-        return logT, done, acc, lastp
-
-    logT0 = jnp.zeros((P, 1), jnp.float32)
-    done0 = jnp.zeros((P, 1), jnp.float32)
-    acc0 = jnp.zeros((P, 8), jnp.float32)
-    lastp0 = jnp.zeros((P, 1), jnp.float32)
-    logT, _, acc, lastp = jax.lax.fori_loop(0, nchunks, body, (logT0, done0, acc0, lastp0))
-    out_ref[g] = acc
-    out_ref[g, :, OUT_LOGT : OUT_LOGT + 1] = logT
-    out_ref[g, :, OUT_LASTP : OUT_LASTP + 1] = lastp
-
-
-def _flat_bwd_kernel(
-    nx: int, tilesize: int,
-    counts_ref, starts_ref, tids_ref,
-    tri_ref, pixb_ref, attrsT_ref, gout_ref, fout_ref, dzero_ref,
-    dT_ref,
-    buf, dbuf, accbuf, sems, wsems,
-):
-    """Single-pass REVERSE backward (the CUDA back-to-front trick, log-form):
-
-    walking chunks back to front with the forward's saved final
-    transmittance and per-pixel last-contributor position, the per-splat
-    transmittance-before is reconstructed as
-        logT_before_i = logT_fin - sum_{j >= i, included} l_j
-    and the suffix sums A_i = sum_{j > i} g_w_j w_j accumulate naturally in
-    the walk — one DMA sweep and ~half the recompute of the two-forward-pass
-    formulation. Inclusion needs no transmittance test at all:
-    included == live AND position < last_contributor (inclusion is a prefix
-    under the sticky early-stop)."""
-    del dzero_ref  # aliased to dT_ref; provides the zero initialization
-    P = tilesize * tilesize
-    i = pl.program_id(0)
-    pixb = pixb_ref[:]
-    for g in range(GROUP):
-        _flat_bwd_tile(
-            nx, tilesize, P, i * GROUP + g, g,
-            counts_ref, starts_ref, tids_ref, tri_ref, attrsT_ref,
-            gout_ref, fout_ref, dT_ref, buf, dbuf, accbuf, sems, wsems, pixb,
-        )
-
-
-def _flat_bwd_tile(
-    nx, tilesize, P, t, gi,
-    counts_ref, starts_ref, tids_ref, tri_ref, attrsT_ref,
-    gout_ref, fout_ref, dT_ref, buf, dbuf, accbuf, sems, wsems, pixb,
-):
-    cnt = counts_ref[t]
-    # segment-aligned: windows [start, start + cnt_pad) exclusively owned
-    start = pl.multiple_of(starts_ref[t], CHUNK)
-    tid = tids_ref[t]
-    bx = ((tid % nx) * tilesize).astype(jnp.float32)
-    by = ((tid // nx) * tilesize).astype(jnp.float32)
-    # full [P, 8] cotangent block: cols 0-3 are the rgb+d cotangents, col 4
-    # is g_logT, cols 5-7 are zero (lastp is non-differentiable bookkeeping).
-    # attrs8's zero rows 4-7 annihilate cols 4+ inside the g_w matmul, so
-    # the whole block can be used unsliced.
-    g_attrs8 = gout_ref[gi]
-    g_logT = gout_ref[gi, :, 4:5]
-    logT_fin = fout_ref[gi, :, OUT_LOGT : OUT_LOGT + 1]  # [P, 1]
-    last_pos = fout_ref[gi, :, OUT_LASTP : OUT_LASTP + 1]  # [P, 1] 1-based
-    # Early-stop mirror of the forward: entries past every pixel's last
-    # contributor have inc == 0 and contribute nothing, so start the reverse
-    # walk at the chunk holding max(last_pos) instead of the segment end.
-    # Windows beyond it are never written — the zero-aliased dT output
-    # already holds their (zero) gradients. max_last == 0 (no contributors,
-    # e.g. a fully saturated-before tile) skips everything.
-    max_last = jnp.max(last_pos).astype(jnp.int32)
-    nchunks = jnp.minimum(pl.cdiv(cnt, CHUNK), pl.cdiv(max_last, CHUNK))
-
-    def in_dma(k, slot):
-        return pltpu.make_async_copy(
-            attrsT_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
-            buf.at[slot],
-            sems.at[slot],
-        )
-
-    @pl.when(nchunks > 0)
-    def _():
-        in_dma(nchunks - 1, 0).start()
-
-    def body(r, carry):
-        suffixL, suffixA = carry
-        k = nchunks - 1 - r
-        slot = jax.lax.rem(r, 2)
-
-        @pl.when(r + 1 < nchunks)
-        def _():
-            in_dma(k - 1, jax.lax.rem(r + 1, 2)).start()
-
-        in_dma(k, slot).wait()
-        mx, my, ca, cb, cc, op, G, alpha, live, attrs8 = _flat_chunk_geometry(
-            buf, slot, bx, by, pixb
-        )
-        pos1 = (
-            k * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + 1
-        ).astype(jnp.float32)
-        inc = live * jnp.where(pos1 <= last_pos, 1.0, 0.0)  # [P, C]
-        alpha = alpha * inc
-        l = jnp.log1p(-alpha)  # zero where excluded
-
-        # reverse (suffix-inclusive) cumsum along lanes: contract with the
-        # TRANSPOSED triangular matrix
-        S_rev = jax.lax.dot_general(
-            l, tri_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        logT_after = logT_fin - (suffixL + S_rev - l)
-        T_before = jnp.exp(logT_after - l)
-        w = alpha * T_before
-        # attrs8's zero tail rows annihilate g_attrs8 cols 4-7
-        g_w = jnp.dot(g_attrs8, attrs8, preferred_element_type=jnp.float32)
-        gww = g_w * w
-        A_rev = jax.lax.dot_general(
-            gww, tri_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        A = suffixA + (A_rev - gww)  # strict suffix over j > i
-        d_alpha = (g_w * T_before - (A + g_logT) / (1.0 - alpha)) * inc
-        d_power = op * d_alpha * G
-        # [8, C]: rows 0-3 are the rgb+d grads (land on dbuf rows
-        # ROW_R..ROW_D); row 4 picks up sum_p g_logT*w which lands on dT pad
-        # rows >= R_USED and is stripped by the routing slice
-        d_attrs = jax.lax.dot_general(
-            g_attrs8, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        # Per-splat row sums over pixels as ONE matmul in the quadratic
-        # pixel basis: M[b, c] = sum_p pixb[p, b] * d_power[p, c], then the
-        # chain rule back to (mx, my, ca, cb, cc, op) is [1, C] work.
-        M = jax.lax.dot_general(
-            pixb, d_power, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [_NQ, C]
-        S0, Sx, Sy = M[0:1], M[1:2], M[2:3]
-        Sxx, Sxy, Syy = M[3:4], M[4:5], M[5:6]
-        # rowsum(d_power * dx^k dy^m) with dx = mx - px (tile-local)
-        r_dxdx = mx * mx * S0 - 2.0 * mx * Sx + Sxx
-        r_dydy = my * my * S0 - 2.0 * my * Sy + Syy
-        r_dxdy = mx * my * S0 - mx * Sy - my * Sx + Sxy
-        r_dx = mx * S0 - Sx
-        r_dy = my * S0 - Sy
-        # rowsum(d_op) = rowsum(G * d_alpha) = rowsum(d_power) / op
-        d_op_row = jnp.where(op > 0.0, S0 / op, 0.0)
-
-        # Segment-aligned windows are exclusively owned, so every gradient
-        # window is a plain double-buffered write — no read-modify-write.
-        slot2 = jax.lax.rem(r, 2)
-
-        def wr_dma(kk, ss):
-            return pltpu.make_async_copy(
-                accbuf.at[ss], dT_ref.at[:, pl.ds(start + kk * CHUNK, CHUNK)], wsems.at[ss]
-            )
-
-        @pl.when(r >= 2)
-        def _():
-            wr_dma(nchunks - 1 - (r - 2), slot2).wait()  # slot reuse guard
-
-        # rows 0-5 geometry grads, rows 6-13 the d_attrs block (rows 10-13
-        # are pad — stripped by the routing's [:R_USED] slice, as are the
-        # never-written rows 14-15)
-        dbuf[ROW_MX : ROW_MX + 1, :] = -(ca * r_dx + cb * r_dy)
-        dbuf[ROW_MY : ROW_MY + 1, :] = -(cc * r_dy + cb * r_dx)
-        dbuf[ROW_CA : ROW_CA + 1, :] = -0.5 * r_dxdx
-        dbuf[ROW_CB : ROW_CB + 1, :] = -r_dxdy
-        dbuf[ROW_CC : ROW_CC + 1, :] = -0.5 * r_dydy
-        dbuf[ROW_OP : ROW_OP + 1, :] = d_op_row
-        dbuf[ROW_R : ROW_R + 8, :] = d_attrs
-
-        accbuf[slot2, :, :] = dbuf[:, :]
-        wr_dma(k, slot2).start()
-
-        suffixL = suffixL + jnp.sum(l, axis=1, keepdims=True)
-        suffixA = suffixA + jnp.sum(gww, axis=1, keepdims=True)
-        return suffixL, suffixA
-
-    zeros = jnp.zeros((P, 1), jnp.float32)
-    jax.lax.fori_loop(0, nchunks, body, (zeros, zeros))
-
-    # drain outstanding gradient writes (reverse order: last two iterations
-    # wrote windows k = 1 and k = 0)
-    def _drain(rr):
-        @pl.when((rr >= 0) & (rr < nchunks))
-        def _():
-            kk = nchunks - 1 - rr
-            pltpu.make_async_copy(
-                accbuf.at[jax.lax.rem(rr, 2)],
-                dT_ref.at[:, pl.ds(start + kk * CHUNK, CHUNK)],
-                wsems.at[jax.lax.rem(rr, 2)],
-            ).wait()
-
-    _drain(nchunks - 2)
-    _drain(nchunks - 1)
-
-
-def _pad_tiles(counts, starts, tile_ids):
-    """Pad the tile axis to a GROUP multiple with empty tiles (cnt=0)."""
-    T = counts.shape[0]
-    pad = (-T) % GROUP
-    if pad == 0:
-        return counts, starts, tile_ids, T
-    z = jnp.zeros((pad,), jnp.int32)
-    return (
-        jnp.concatenate([counts, z]),
-        jnp.concatenate([starts, z]),
-        jnp.concatenate([tile_ids, z]),
-        T + pad,
-    )
-
-
-def _flat_fwd_impl(attrsT, counts, starts, tile_ids, nx, ny, tilesize):
-    R, Lpad = attrsT.shape
-    T = counts.shape[0]
-    P = tilesize * tilesize
-    counts, starts, tile_ids, T_pad = _pad_tiles(counts, starts, tile_ids)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(T_pad // GROUP,),
-        in_specs=[
-            pl.BlockSpec((CHUNK, CHUNK), lambda i, c, s, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, _NQ), lambda i, c, s, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=pl.BlockSpec((GROUP, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, NUM_ROWS, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_flat_fwd_kernel, nx, tilesize),
-        out_shape=jax.ShapeDtypeStruct((T_pad, P, 8), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=_use_interpret(),
-    )(counts, starts, tile_ids, _tri_matrix(), _pix_basis(tilesize, P), attrsT)
-    return out[:T]
-
-
-def _flat_bwd_impl(attrsT, counts, starts, tile_ids, gout, fout, nx, ny, tilesize):
-    R, Lpad = attrsT.shape
-    T = counts.shape[0]
-    P = tilesize * tilesize
-    counts, starts, tile_ids, T_pad = _pad_tiles(counts, starts, tile_ids)
-    if T_pad != T:
-        zpad = jnp.zeros((T_pad - T, P, 8), jnp.float32)
-        gout = jnp.concatenate([gout, zpad])
-        fout = jnp.concatenate([fout, zpad])
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(T_pad // GROUP,),
-        in_specs=[
-            pl.BlockSpec((CHUNK, CHUNK), lambda i, c, s, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, _NQ), lambda i, c, s, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((GROUP, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, P, 8), lambda i, c, s, t: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((2, NUM_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((NUM_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((2, NUM_ROWS, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    dzero = jnp.zeros((NUM_ROWS, Lpad), jnp.float32)
-    return pl.pallas_call(
-        functools.partial(_flat_bwd_kernel, nx, tilesize),
-        out_shape=jax.ShapeDtypeStruct((NUM_ROWS, Lpad), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=_use_interpret(),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        input_output_aliases={8: 0},
-    )(counts, starts, tile_ids, _tri_matrix(), _pix_basis(tilesize, P), attrsT, gout, fout, dzero)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def flat_gather_composite(attrs, bins, starts_slice, counts_slice, tile_ids, nx, ny, tilesize):
-    """Composite the tiles described by (starts_slice, counts_slice,
-    tile_ids) — the full grid for single-device use, or a shard's slice
-    under tile sharding — with the scatter-free custom VJP."""
-    out, _ = _flat_gather_fwd(attrs, bins, starts_slice, counts_slice, tile_ids, nx, ny, tilesize)
-    return out
-
-
 def _aligned_attrsT(attrs, bins):
     """Segment-aligned [R, L_pad] attribute stream for the Pallas kernels.
 
@@ -1013,63 +276,6 @@ def _aligned_attrsT(attrs, bins):
     aligned_attrs = jax.lax.optimization_barrier(aligned_attrs)
     return aligned_attrs.T  # [R, L_pad]
 
-
-def _flat_gather_fwd(attrs, bins, starts_slice, counts_slice, tile_ids, nx, ny, tilesize):
-    # segment-aligned layout (see _aligned_attrsT); starts_slice must be
-    # bins.aligned_starts.
-    attrsT = _aligned_attrsT(attrs, bins)
-    out = _flat_fwd_impl(
-        attrsT, counts_slice, starts_slice, tile_ids, nx, ny, tilesize
-    )
-    return out, (attrsT, bins, starts_slice, counts_slice, tile_ids, attrs.shape[0], out)
-
-
-def _flat_gather_bwd(nx, ny, tilesize, res, gout):
-    attrsT, bins, starts_slice, counts_slice, tile_ids, n_attr, fout = res
-    L = bins.orig_idx_sorted.shape[0]
-    R_USED = ROW_D + 1  # rows 10..NUM_ROWS-1 never carry gradients
-    dT = _flat_bwd_impl(
-        attrsT, counts_slice, starts_slice, tile_ids, gout, fout, nx, ny, tilesize
-    )
-    # barriers: keep the transpose, the row gathers, and the cumsum as
-    # separate vectorized ops (fused gather+transpose serializes; see
-    # _flat_gather_fwd)
-    d_aligned = jax.lax.optimization_barrier(dT[:R_USED].T)  # [L_pad, R_USED]
-    # rows for real entries, in gaussian-major (presort) order; pad slots
-    # are never referenced and dead presort slots are masked below
-    d_presort = d_aligned[bins.aligned_pos_of_presort]
-    e = jnp.arange(L, dtype=jnp.int32)
-    d_presort = d_presort * (e < bins.total_entries)[:, None]
-    csum = jax.lax.optimization_barrier(jnp.cumsum(d_presort, axis=0))
-    seg_end = jnp.clip(bins.seg_offsets + bins.seg_counts - 1, 0, L - 1)
-    end_vals = csum[seg_end]
-    start_prev = jnp.where(
-        (bins.seg_offsets > 0)[:, None],
-        csum[jnp.clip(bins.seg_offsets - 1, 0, L - 1)],
-        0.0,
-    )
-    sums_rank = jnp.where((bins.seg_counts > 0)[:, None], end_vals - start_prev, 0.0)
-    d_attrs = jax.lax.optimization_barrier(sums_rank)[bins.inv_order]
-    d_attrs = jnp.concatenate(
-        [
-            d_attrs,
-            jnp.zeros((d_attrs.shape[0], NUM_ROWS - R_USED), d_attrs.dtype),
-        ],
-        axis=1,
-    )
-    d_attrs = jnp.concatenate(
-        [d_attrs, jnp.zeros((n_attr - d_attrs.shape[0], NUM_ROWS), d_attrs.dtype)],
-        axis=0,
-    )
-
-    from jax.dtypes import float0
-
-    d_bins = jax.tree_util.tree_map(lambda x: np.zeros(x.shape, float0), bins)
-    z = lambda x: np.zeros(x.shape, float0)
-    return d_attrs, d_bins, z(starts_slice), z(counts_slice), z(tile_ids)
-
-
-flat_gather_composite.defvjp(_flat_gather_fwd, _flat_gather_bwd)
 
 
 # --------------------------------------------------------------------------
@@ -1278,7 +484,11 @@ def _stream_fwd_block(
     ablk_ref, out_ref, st_acc, st_logT, st_done, i,
 ):
     P = tilesize * tilesize
-    pblk = min(P, PBLK)
+    # In semantic sub-tile mode each pixel block must cover exactly ONE
+    # sub*sub semantic tile (the rect test is a per-block row constant);
+    # PBLK is only the working-set target for the sub-free path. With the
+    # default tile=16 these coincide (16*16 == PBLK == 256).
+    pblk = sub * sub if sub is not None else min(P, PBLK)
     for j in range(CPB):
         c = i * CPB + j
         t = tile_c_ref[c]
@@ -1372,7 +582,7 @@ def _stream_bwd_block(
     ablk_ref, outblk_ref, prevblk_ref, gblk_ref, totblk_ref, dblk_ref, i,
 ):
     P = tilesize * tilesize
-    pblk = min(P, PBLK)
+    pblk = sub * sub if sub is not None else min(P, PBLK)  # see _stream_fwd_block
     for j in range(CPB):
         c = i * CPB + j
         t = tile_c_ref[c]
@@ -1505,12 +715,13 @@ def _stream_bwd_block(
                 )
 
 
-def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, ny, tilesize, sub=None):
+def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, t_total, tilesize, sub=None):
     R, Lpad = attrsT.shape
     nbc = Lpad // SCHUNK
     grid = Lpad // (CPB * SCHUNK)
     P = tilesize * tilesize
-    T_total = nx * ny
+    T_total = t_total  # GLOBAL tile count (tile ids may carry a row offset
+    # under tile-row sharding; sentinel chunks carry id == T_total)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
@@ -1534,12 +745,12 @@ def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, ny, tilesize, sub=No
     )(tile_of_chunk, k_of_chunk, _tri_matrix(SUB), _pix_basis(tilesize, P, sub), attrsT)
 
 
-def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, totchunks, nx, ny, tilesize, sub=None):
+def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, totchunks, nx, t_total, tilesize, sub=None):
     R, Lpad = attrsT.shape
     nbc = Lpad // SCHUNK
     grid = Lpad // (CPB * SCHUNK)
     P = tilesize * tilesize
-    T_total = nx * ny
+    T_total = t_total  # global; see _stream_fwd_impl
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
@@ -1570,22 +781,44 @@ def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, tot
     )(tile_of_chunk, k_of_chunk, _tri_matrix(SUB), _pix_basis(tilesize, P, sub), attrsT, out_chunks, out_chunks, gchunks, totchunks)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def stream_gather_composite(attrs, bins, nx, ny, tilesize, sub=None):
+def _chunk_tiles_global(bins, nx, ny, ny_total):
+    """Per-chunk tile ids in the GLOBAL id space of an ny_total-row grid:
+    local ids shift by row_offset * nx, sentinel ids (>= local T) map to the
+    global sentinel nx * ny_total. Identity when the grid is unsharded."""
+    if ny_total is None:
+        return bins.tile_of_chunk, nx * ny
+    T_local = nx * ny
+    T_glob = nx * ny_total
+    return (
+        jnp.where(
+            bins.tile_of_chunk >= T_local,
+            jnp.int32(T_glob),
+            bins.tile_of_chunk + bins.row_offset * nx,
+        ),
+        T_glob,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def stream_gather_composite(attrs, bins, nx, ny, tilesize, sub=None, ny_total=None):
     """Stream-kernel compositing of the full tile grid: returns [T, 5, P]
     (rows OUT_R..OUT_D premultiplied rgb+depth, OUT_LOGT the final log
-    transmittance), with the same scatter-free custom VJP routing as
-    flat_gather_composite. `sub` (the semantic tile, e.g. 16) activates the
-    per-pixel semantic-rect replay when tilesize is a coarser processing
-    tile."""
-    out, _ = _stream_gather_fwd(attrs, bins, nx, ny, tilesize, sub)
+    transmittance), with a scatter-free custom VJP routing entry gradients
+    back to per-Gaussian attribute rows. `sub` (the semantic tile, e.g. 16)
+    activates the per-pixel semantic-rect replay when tilesize is a coarser
+    processing tile. `ny_total` (tile-row sharding): the bins cover only ny
+    LOCAL grid rows starting at bins.row_offset of an ny_total-row global
+    grid — tile origins are computed in global coordinates so per-tile
+    output is bitwise-equal to the unsharded grid's."""
+    out, _ = _stream_gather_fwd(attrs, bins, nx, ny, tilesize, sub, ny_total)
     return out
 
 
-def _stream_gather_fwd(attrs, bins, nx, ny, tilesize, sub=None):
+def _stream_gather_fwd(attrs, bins, nx, ny, tilesize, sub=None, ny_total=None):
     attrsT = _aligned_attrsT(attrs, bins)  # [R, L_pad]
+    tc_glob, t_glob = _chunk_tiles_global(bins, nx, ny, ny_total)
     out_chunks = _stream_fwd_impl(
-        attrsT, bins.tile_of_chunk, bins.k_of_chunk, nx, ny, tilesize, sub
+        attrsT, tc_glob, bins.k_of_chunk, nx, t_glob, tilesize, sub
     )  # [nbc, 8, P]
     T_full = nx * ny
     nbc = out_chunks.shape[0]
@@ -1656,13 +889,13 @@ def _route_by_sort(dT, bins, n_attr, R_USED):
     )
 
 
-def _stream_gather_bwd(nx, ny, tilesize, sub, res, gout):
+def _stream_gather_bwd(nx, ny, tilesize, sub, ny_total, res, gout):
     attrsT, bins, fout, out_chunks, n_attr = res
     L = bins.orig_idx_sorted.shape[0]
     R_USED = ROW_D + 1
     nbc = attrsT.shape[1] // SCHUNK
     T_full = nx * ny
-    tile_c = jnp.clip(bins.tile_of_chunk[:nbc], 0, T_full - 1)
+    tile_c = jnp.clip(bins.tile_of_chunk[:nbc], 0, T_full - 1)  # LOCAL ids
     # chunk-gather the per-tile cotangents and gww totals so the kernel
     # reads them on the same auto-pipeline as the attribute stream ([T]-row
     # gathers of 8 KB rows); barriers keep the gathers unfused from their
@@ -1671,16 +904,16 @@ def _stream_gather_bwd(nx, ny, tilesize, sub, res, gout):
     tile_c, gout, tot_tile = jax.lax.optimization_barrier((tile_c, gout, tot_tile))
     gchunks = gout[tile_c]  # gout is already [T, G_ROWS, P]
     totchunks = tot_tile[tile_c]
+    tc_glob, t_glob = _chunk_tiles_global(bins, nx, ny, ny_total)
     dT = _stream_bwd_impl(
-        attrsT, bins.tile_of_chunk, bins.k_of_chunk, out_chunks,
-        gchunks, totchunks, nx, ny, tilesize, sub,
+        attrsT, tc_glob, bins.k_of_chunk, out_chunks,
+        gchunks, totchunks, nx, t_glob, tilesize, sub,
     )  # [NUM_ROWS, L_pad] row-major (the kernel's row-space store)
     if L >= SORT_ROUTE_MIN_L:
         return _route_by_sort(dT, bins, n_attr, R_USED), _zero_dbins(bins)
     # ONE XLA transpose to entry-major for the routing gather (replaces
     # 8192 in-kernel [8, C] transposes); barrier keeps the transpose and the
-    # gather as separate vectorized ops (fused they serialize; see
-    # _flat_gather_bwd)
+    # gather as separate vectorized ops (fused they serialize)
     d_aligned = jax.lax.optimization_barrier(dT[:R_USED].T)
     d_presort = d_aligned[bins.aligned_pos_of_presort]
     e = jnp.arange(L, dtype=jnp.int32)

@@ -292,6 +292,46 @@ def test_ptile_parity_gradients():
         )
 
 
+def test_ptile_parity_nondefault_semantic_tile():
+    """tile=8 with ptile=16 (sub*sub = 64 != PBLK): the pixel-block width
+    must follow the semantic sub-tile so each block covers exactly one
+    semantic tile — with the old pblk=min(P, PBLK) a 256-px block spanned 4
+    sub-tiles and rect membership (image AND gradients) was silently wrong
+    (ADVICE round-3 medium)."""
+    cam = make_camera(64, 48)
+    means, scales, quats, opac, shs = make_scene(n=80, seed=4)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    base = render(
+        cam, means, opac, bg, scales=scales, rotations=quats, shs=shs,
+        active_sh_degree=3, backend="oracle", tile=8,
+    )
+    coarse = render(
+        cam, means, opac, bg, scales=scales, rotations=quats, shs=shs,
+        active_sh_degree=3, backend="tpu", tile=8, ptile=16,
+    )
+    np.testing.assert_allclose(
+        np.asarray(coarse.render), np.asarray(base.render), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(coarse.rendered_alpha), np.asarray(base.rendered_alpha),
+        atol=1e-4,
+    )
+
+    # gradients through the non-default semantic tile
+    target = jnp.ones((3, 48, 64)) * 0.5
+
+    def loss(backend, m, **kw):
+        out = render(
+            cam, m, opac, bg, scales=scales, rotations=quats, shs=shs,
+            active_sh_degree=2, backend=backend, tile=8, **kw,
+        )
+        return jnp.mean((out.render - target) ** 2)
+
+    g_o = np.asarray(jax.grad(lambda m: loss("oracle", m))(means))
+    g_p = np.asarray(jax.grad(lambda m: loss("tpu", m, ptile=16))(means))
+    np.testing.assert_allclose(g_p, g_o, atol=5e-4 * (np.abs(g_o).max() + 1e-8))
+
+
 def test_ptile_entry_reduction():
     """The coarse processing grid emits measurably fewer tile entries."""
     from scgaussian_tpu.renderer import binning as binning_mod
