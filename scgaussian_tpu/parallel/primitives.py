@@ -2,11 +2,12 @@
 
 SURVEY.md §2.3: shard the N-Gaussian axis for projection (and its backward)
 across one mesh axis, all-gather the small projected screen-space attributes
-(~64 B/Gaussian), then shard the compositing tile grid across the other
-axis. Collectives are inserted by shard_map/autodiff: the all-gather's
-transpose is a reduce-scatter of attribute gradients back to the owning
-shard — exactly the hand-written CUDA+NCCL pattern the reference never had,
-expressed as SPMD.
+(~64 B/Gaussian), then shard the compositing tile grid's ROWS across the
+other axis — binning + compositing run per tile-row slice on the v3 STREAM
+Pallas kernels, exactly like parallel/tiles.py. Collectives are inserted by
+shard_map/autodiff: the all-gather's transpose is a reduce-scatter of
+attribute gradients back to the owning shard — exactly the hand-written
+CUDA+NCCL pattern the reference never had, expressed as SPMD.
 
 Layout guidance (scaling-book recipe): the primitive axis pays off at large
 N (projection + per-primitive backward are N-bound), the tile axis at large
@@ -15,7 +16,6 @@ resolutions; both ride ICI.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -46,12 +46,14 @@ def render_sharded(
     active_sh_degree: int = 3,
     tile: int = 16,
     entry_budget: Optional[int] = None,
+    ptile: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fully sharded differentiable render on a ("prim", "tiles") mesh.
 
-    The primitive axis must divide N; the tile grid is padded to the tile
-    axis size. Gradients flow to all inputs (shard_map transposes the
-    all-gather into a reduce-scatter automatically).
+    The primitive axis must divide N; the tile grid's rows are padded to the
+    tile axis size. Gradients flow to all inputs (shard_map transposes the
+    all-gather into a reduce-scatter automatically). `entry_budget` is per
+    tile-row shard.
     """
     n = means3d.shape[0]
     n_prim = mesh.shape["prim"]
@@ -59,12 +61,17 @@ def render_sharded(
     assert n % n_prim == 0, (n, n_prim)
 
     W, H = camera.width, camera.height
-    nx = (W + tile - 1) // tile
-    ny = (H + tile - 1) // tile
-    T = nx * ny
-    T_pad = ((T + n_tile_dev - 1) // n_tile_dev) * n_tile_dev
+    if ptile is None:
+        ptile = tile
+    nx = (W + ptile - 1) // ptile
+    ny = (H + ptile - 1) // ptile
+    ny_pad = ((ny + n_tile_dev - 1) // n_tile_dev) * n_tile_dev
+    rows_per = ny_pad // n_tile_dev
+    sub = tile if ptile != tile else None
     if entry_budget is None:
-        entry_budget = default_entry_budget(n)
+        entry_budget = max(
+            default_entry_budget(n, ptile // tile) // n_tile_dev, 1 << 14
+        )
 
     def shard_fn(means, opac, scl, rot, sh):
         # --- projection on the local primitive shard
@@ -77,52 +84,26 @@ def render_sharded(
             g = jax.lax.all_gather(x, "prim", axis=0)
             return g.reshape((-1,) + x.shape[1:])
 
-        proj = project_mod.ProjectedGaussians(
-            mean2d=ag(proj_local.mean2d),
-            depth=ag(proj_local.depth),
-            conic=ag(proj_local.conic),
-            color=ag(proj_local.color),
-            opacity=ag(proj_local.opacity),
-            radius=ag(proj_local.radius),
-            valid=ag(proj_local.valid),
-            ext=ag(proj_local.ext),
-        )
+        proj = jax.tree_util.tree_map(ag, proj_local)
 
-        # --- binning replicated (index computation), composite on the local
-        # tile slice
-        bins = bin_gaussians(proj, W, H, tile, entry_budget)
-        attrs = tr.attrs_matrix(proj)
+        # --- bin + stream-composite the local tile-row slice
+        attrs = tr.attrs_matrix(proj, width=W, height=H, sem_tile=sub)
+        row_lo = jax.lax.axis_index("tiles") * rows_per
+        bins = bin_gaussians(
+            proj, W, H, tile, entry_budget,
+            chunk=tr.SCHUNK, ptile=ptile, row_lo=row_lo, ny_rows=rows_per,
+        )
+        out5 = tr.stream_gather_composite(
+            attrs, bins, nx, rows_per, ptile, sub, ny_pad
+        )  # [T_local, 5, P]
+        return out5
 
-        t_idx = jax.lax.axis_index("tiles")
-        t_local = T_pad // n_tile_dev
-        lo = t_idx * t_local
-        starts_l = jax.lax.dynamic_slice_in_dim(
-            jnp.concatenate([bins.aligned_starts[:T], jnp.full((T_pad - T,), bins.aligned_starts[T], jnp.int32)]),
-            lo, t_local,
-        )
-        counts_l = jax.lax.dynamic_slice_in_dim(
-            jnp.concatenate([bins.counts, jnp.zeros((T_pad - T,), jnp.int32)]), lo, t_local
-        )
-        tids_l = lo + jnp.arange(t_local, dtype=jnp.int32)
-        out_local = tr.flat_gather_composite(
-            attrs, bins, starts_l, counts_l, tids_l, nx, ny, tile
-        )
-        # --- gather the image tiles over "tiles"
-        out = jax.lax.all_gather(out_local, "tiles", axis=0).reshape(T_pad, tile * tile, 8)
-        return out
-
-    out = jax.shard_map(
+    out5 = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P("prim"), P("prim"), P("prim"), P("prim"), P("prim")),
-        out_specs=P(),
+        out_specs=P("tiles"),
         check_vma=False,
     )(means3d, opacities, scales, rotations, shs)
 
-    img = out[:T].reshape(ny, nx, tile, tile, 8).transpose(0, 2, 1, 3, 4)
-    img = img.reshape(ny * tile, nx * tile, 8)[:H, :W]
-    acc_rgb = img[..., tr.OUT_R : tr.OUT_B + 1]
-    acc_d = img[..., tr.OUT_D]
-    T_fin = jnp.exp(img[..., tr.OUT_LOGT])
-    color_out = acc_rgb + T_fin[..., None] * bg_color[None, None, :]
-    return color_out.transpose(2, 0, 1), acc_d[None], (1.0 - T_fin)[None]
+    return tr.assemble_image(out5, bg_color, nx, ny_pad, ptile, sub, W, H)

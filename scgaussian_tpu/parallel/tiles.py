@@ -1,19 +1,17 @@
 """Tile-sharded rendering: the sequence/context-parallel analog (SURVEY 5.7).
 
-Shards the rasterizer's tile grid across the mesh with `shard_map`: every
-device projects + bins the full primitive set (cheap, replicated), then
-composites ONLY its contiguous slice of tiles with the flat-DMA Pallas
-kernels (the dominant cost at dense resolutions), and the image shards
-concatenate back. Per-tile work is embarrassingly parallel; the only
-collectives are the output all-gather implied by the out_specs and — in the
-backward — the psum of per-shard attribute gradients that shard_map's
-transpose inserts automatically.
-
-Built on `flat_gather_composite` (exact per-tile CUDA semantics at arbitrary
-depth — no per-tile K cap) with its scatter-free custom VJP, so a
-tile-sharded render is fully differentiable and parity-equal to the
-single-device path; `parallel/primitives.py` composes the same pattern with
-a primitive-sharded projection on a 2-D mesh.
+Shards the rasterizer's PROCESSING-tile grid by contiguous ROW slices across
+the mesh with `shard_map`: every device projects the full primitive set
+(cheap, replicated), bins ONLY its own row slice of the tile grid
+(`bin_gaussians(row_lo, ny_rows)` — entries touching other slices are never
+emitted), composites its slice with the v3 STREAM Pallas kernels (ptile
+coarse processing grid + semantic-rect replay included), and the image row
+shards concatenate back. Per-tile entry sets, depth order and chunk
+alignment are identical to the unsharded bin, so each tile's output is
+bitwise-equal to the single-device path; the only collectives are the output
+all-gather implied by the out_specs and — in the backward — the psum of
+per-shard attribute gradients that shard_map's transpose inserts
+automatically (attrs is a replicated input).
 
 This is the single-image latency scaling axis; camera-batch DP
 (parallel/dp.py) is the throughput axis. Both ride XLA collectives over ICI.
@@ -40,52 +38,54 @@ def rasterize_tile_sharded(
     bg_color: jnp.ndarray,
     tile: int = 16,
     entry_budget: Optional[int] = None,
+    ptile: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Like tile_raster.rasterize but with the tile axis sharded over
-    `mesh`'s first axis. Differentiable: gradients flow to all projected
-    attributes (per-shard partials psum'd by the shard_map transpose).
+    """Like tile_raster.rasterize but with the processing-tile grid's rows
+    sharded over `mesh`'s first axis, on the same stream kernels (per-tile
+    bitwise-equal to the single-device path). Differentiable: gradients flow
+    to all projected attributes (per-shard partials psum'd by the shard_map
+    transpose). `entry_budget` is PER SHARD (each shard bins only its rows).
 
     Returns (color [3,H,W], depth [1,H,W], alpha [1,H,W], overflow [])."""
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     n = proj.depth.shape[0]
+    if ptile is None:
+        ptile = tile
     if entry_budget is None:
-        entry_budget = default_entry_budget(n)
-
-    nx = (width + tile - 1) // tile
-    ny = (height + tile - 1) // tile
-    T = nx * ny
-    # pad tile count to a multiple of the mesh size
-    T_pad = ((T + n_dev - 1) // n_dev) * n_dev
-
-    bins = bin_gaussians(proj, width, height, tile, entry_budget)
-    attrs = tr.attrs_matrix(proj)
-
-    pad = T_pad - T
-    starts_p = jnp.concatenate(
-        [bins.aligned_starts[:T], jnp.full((pad,), bins.aligned_starts[T], jnp.int32)]
-    )
-    counts_p = jnp.concatenate([bins.counts, jnp.zeros((pad,), jnp.int32)])
-    tile_ids_p = jnp.arange(T_pad, dtype=jnp.int32)
-
-    def shard_fn(attrs, bins, starts_l, counts_l, tids_l):
-        return tr.flat_gather_composite(
-            attrs, bins, starts_l, counts_l, tids_l, nx, ny, tile
+        # per-shard budget: coverage splits ~evenly across row slices, with
+        # the same 16k floor as the single-device default
+        entry_budget = max(
+            default_entry_budget(n, ptile // tile) // n_dev, 1 << 14
         )
 
-    out = jax.shard_map(
+    nx = (width + ptile - 1) // ptile
+    ny = (height + ptile - 1) // ptile
+    ny_pad = ((ny + n_dev - 1) // n_dev) * n_dev  # pad rows to the mesh size
+    rows_per = ny_pad // n_dev
+    sub = tile if ptile != tile else None
+    attrs = tr.attrs_matrix(proj, width=width, height=height, sem_tile=sub)
+
+    def shard_fn(attrs_l, proj_l):
+        row_lo = jax.lax.axis_index(axis) * rows_per
+        bins = bin_gaussians(
+            proj_l, width, height, tile, entry_budget,
+            chunk=tr.SCHUNK, ptile=ptile, row_lo=row_lo, ny_rows=rows_per,
+        )
+        out5 = tr.stream_gather_composite(
+            attrs_l, bins, nx, rows_per, ptile, sub, ny_pad
+        )  # [T_local, 5, P]
+        return out5, jax.lax.psum(bins.overflow, axis)
+
+    out5, overflow = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis)),
-        out_specs=P(axis),
+        in_specs=(P(), P()),
+        out_specs=(P(axis), P()),
         check_vma=False,
-    )(attrs, bins, starts_p, counts_p, tile_ids_p)
+    )(attrs, proj)
 
-    out = out[:T]
-    img = out.reshape(ny, nx, tile, tile, 8).transpose(0, 2, 1, 3, 4)
-    img = img.reshape(ny * tile, nx * tile, 8)[:height, :width]
-    acc_rgb = img[..., tr.OUT_R : tr.OUT_B + 1]
-    acc_d = img[..., tr.OUT_D]
-    T_fin = jnp.exp(img[..., tr.OUT_LOGT])
-    color_out = acc_rgb + T_fin[..., None] * bg_color[None, None, :]
-    return color_out.transpose(2, 0, 1), acc_d[None], (1.0 - T_fin)[None], bins.overflow
+    color, depth, alpha = tr.assemble_image(
+        out5, bg_color, nx, ny_pad, ptile, sub, width, height
+    )
+    return color, depth, alpha, overflow
