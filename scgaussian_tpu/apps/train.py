@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init_iterations", type=int, default=2_000)
     p.add_argument("--bg_capacity", type=int, default=65536)
     p.add_argument("--backend", type=str, default="tpu", choices=["tpu", "oracle"])
+    p.add_argument("--data_parallel", type=int, default=0, metavar="D",
+                   help="train data-parallel over D devices (camera-batch DP: "
+                        "each iteration consumes D cameras, gradients psum'd "
+                        "over the mesh). 0/1 = single-device. No reference "
+                        "analog (the reference is single-GPU, SURVEY.md §2.3)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler device trace into this dir")
     p.add_argument("--no_tensorboard", action="store_true")
@@ -301,6 +306,22 @@ def main(argv=None):
             )
         timer.start()
 
+    mesh = None
+    if args.data_parallel > 1:
+        from scgaussian_tpu.parallel import dp as dp_mod
+
+        n_avail = len(jax.devices())
+        if args.data_parallel > n_avail:
+            raise SystemExit(
+                f"--data_parallel {args.data_parallel} > {n_avail} available "
+                f"devices ({jax.devices()[0].platform})"
+            )
+        mesh = dp_mod.make_mesh(args.data_parallel)
+        print(
+            f"Data-parallel training over {args.data_parallel} devices "
+            f"({args.data_parallel} cameras per iteration)"
+        )
+
     rng, main_rng = jax.random.split(rng)
     with trace(args.profile_dir):
         state = pipeline.run_main_stage(
@@ -320,6 +341,7 @@ def main(argv=None):
             callback=callback,
             first_iteration=first_iter,
             opt_state=restored_opt,
+            mesh=mesh,
         )
     model_io.save_checkpoint(
         os.path.join(args.model_path, f"chkpnt{args.iterations}.npz"),
