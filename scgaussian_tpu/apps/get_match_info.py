@@ -85,6 +85,48 @@ def match_pair_dkm(model, img0, img1, num_matches):
     return pts0, pts1
 
 
+def make_matching_figure(
+    img0: np.ndarray,
+    img1: np.ndarray,
+    pts0: np.ndarray,
+    pts1: np.ndarray,
+    inliers: np.ndarray,
+    line_alpha: float = 0.4,
+) -> np.ndarray:
+    """Match-pair visualization (RGB uint8), equivalent to the reference's
+    `fast_make_matching_figure`/`_overlay` blend
+    (`data_preprocess/get_match_info.py:65-141,413-417`): a two-row canvas —
+    row 1 the plain side-by-side pair, row 2 the pair with green dots on
+    inlier keypoints and their connecting lines blended in at `line_alpha`."""
+    import cv2
+
+    margin = 2
+    h0, w0 = img0.shape[:2]
+    h1, w1 = img1.shape[:2]
+    h = max(h0, h1)
+    H, W = margin * 3 + 2 * h, margin * 3 + w0 + w1
+    canvas = np.full((H, W, 3), 255, np.uint8)
+    x0, x1 = margin, margin * 2 + w0  # column offsets of the two images
+    for row in range(2):
+        y = margin * (row + 1) + h * row
+        canvas[y : y + h0, x0 : x0 + w0] = img0
+        canvas[y : y + h1, x1 : x1 + w1] = img1
+    y2 = margin * 2 + h  # second row
+    pts = np.round(pts0).astype(int), np.round(pts1).astype(int)
+    dots = canvas.copy()
+    lines = canvas.copy()
+    green = (0, 255, 0)
+    for (px0, py0), (px1, py1) in zip(pts[0][inliers], pts[1][inliers]):
+        a = (x0 + px0, y2 + py0)
+        b = (x1 + px1, y2 + py1)
+        cv2.circle(dots, a, 3, green, -1, lineType=cv2.LINE_AA)
+        cv2.circle(dots, b, 3, green, -1, lineType=cv2.LINE_AA)
+        cv2.line(lines, a, b, color=green, thickness=1, lineType=cv2.LINE_AA)
+        cv2.circle(lines, a, 3, green, -1, lineType=cv2.LINE_AA)
+        cv2.circle(lines, b, 3, green, -1, lineType=cv2.LINE_AA)
+    return cv2.addWeighted(dots, 1 - line_alpha, lines, line_alpha, 0)
+
+
 def extract_matches(
     images_dir: str,
     out_path: str,
@@ -93,6 +135,7 @@ def extract_matches(
     n_sparse: int = 3,
     filenames=None,
     dkm_checkpoint: str | None = None,
+    vis_dir: str | None = None,
 ) -> dict:
     import cv2
 
@@ -140,6 +183,13 @@ def extract_matches(
             h1, w1 = img1.shape[:2]
             match_data[name0][name1] = (pts0[mask] / [w0, h0]).astype(np.float32)
             match_data[name1][name0] = (pts1[mask] / [w1, h1]).astype(np.float32)
+            if vis_dir is not None:
+                os.makedirs(vis_dir, exist_ok=True)
+                fig = make_matching_figure(img0, img1, pts0, pts1, mask)
+                cv2.imwrite(
+                    os.path.join(vis_dir, f"{name0}_{name1}_match.png"),
+                    fig[..., ::-1],  # RGB -> BGR for imwrite
+                )
             print(f"{name0}<->{name1}: {mask.sum()} matches")
 
     np.save(out_path, match_data, allow_pickle=True)
@@ -154,11 +204,16 @@ def main(argv=None):
     parser.add_argument("--num_matches", type=int, default=2000)
     parser.add_argument("--n_sparse", type=int, default=3)
     parser.add_argument("--dkm_checkpoint", default="weights/gim_dkm_100h.ckpt")
+    parser.add_argument("--no_vis", action="store_true",
+                        help="skip the per-pair match figures (the reference "
+                             "writes {name0}_{name1}_match.png next to the "
+                             "images, get_match_info.py:413-417)")
     args = parser.parse_args(argv)
     out = args.out or os.path.join(os.path.dirname(args.images_dir.rstrip("/")), "match_data.npy")
     extract_matches(
         args.images_dir, out, args.matcher, args.num_matches, args.n_sparse,
         dkm_checkpoint=args.dkm_checkpoint,
+        vis_dir=None if args.no_vis else args.images_dir,
     )
 
 

@@ -36,8 +36,23 @@ def test_match_extraction_sift(tmp_path):
         warped = cv2.warpAffine(base, M, (200, 160))
         cv2.imwrite(str(img_dir / f"v_{v:03d}.png"), warped)
 
-    md = extract_matches(str(img_dir), str(tmp_path / "match_data.npy"), "sift", 500)
+    vis_dir = tmp_path / "vis"
+    md = extract_matches(
+        str(img_dir), str(tmp_path / "match_data.npy"), "sift", 500,
+        vis_dir=str(vis_dir),
+    )
     assert os.path.exists(tmp_path / "match_data.npy")
+
+    # match visualization figures (reference get_match_info.py:413-417):
+    # one {name0}_{name1}_match.png per pair, a 2-row side-by-side canvas
+    # with green inlier dots + blended lines
+    figs = sorted(os.listdir(vis_dir))
+    assert len(figs) == 3 and all(f.endswith("_match.png") for f in figs)
+    fig = cv2.imread(str(vis_dir / figs[0]))
+    assert fig.shape == (2 * 160 + 3 * 2, 2 * 200 + 3 * 2, 3)
+    # green inlier marks present (pure green pixels survive the 0.4 blend)
+    g = (fig[:, :, 1].astype(int) - fig[:, :, 0]) > 80
+    assert g.sum() > 50
     names = sorted(md.keys())
     assert len(names) == 3
     a, b = names[0], names[1]
