@@ -61,7 +61,7 @@ def probe_budgets(cam, arrays, W, H, ptile):
     return {"entry_budget": eb, "aligned_budget": ab}
 
 
-def main(dense: bool = False):
+def measure(dense: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -138,15 +138,38 @@ def main(dense: bool = False):
     jax.block_until_ready(out)
     dt = (time.time() - t0) / iters
 
-    rays_per_s = W * H / dt
+    return W * H / dt
+
+
+def main(dense_only: bool = False):
+    """Headline metric is the 1080p config; the dense 4K config (BASELINE
+    config 5, the sharding-design regime) rides the same JSON line as
+    `dense_4k_*` extras so dense-scale regressions are recorded every round
+    (round-3 verdict: the dense number must not live only in STATUS)."""
+    if dense_only:
+        rays = measure(dense=True)
+        print(
+            json.dumps(
+                {
+                    "metric": "rays_per_s_per_chip_fwdbwd_4k_dense",
+                    "value": rays,
+                    "unit": "rays/s",
+                    "vs_baseline": rays / BASELINE_RAYS_PER_S,
+                }
+            )
+        )
+        return
+    rays = measure(dense=False)
+    dense_rays = measure(dense=True)
     print(
         json.dumps(
             {
-                "metric": "rays_per_s_per_chip_fwdbwd_"
-                + ("4k_dense" if dense else "1080p"),
-                "value": rays_per_s,
+                "metric": "rays_per_s_per_chip_fwdbwd_1080p",
+                "value": rays,
                 "unit": "rays/s",
-                "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
+                "vs_baseline": rays / BASELINE_RAYS_PER_S,
+                "dense_4k_rays_per_s": dense_rays,
+                "dense_4k_vs_baseline": dense_rays / BASELINE_RAYS_PER_S,
             }
         )
     )
@@ -155,4 +178,4 @@ def main(dense: bool = False):
 if __name__ == "__main__":
     import sys
 
-    main(dense="--dense" in sys.argv)
+    main(dense_only="--dense" in sys.argv)

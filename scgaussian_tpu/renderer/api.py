@@ -53,6 +53,7 @@ def render(
     entry_budget: Optional[int] = None,
     aligned_budget: Optional[int] = None,
     ptile: Optional[int] = None,
+    tile_cull: bool = True,
 ) -> RenderOutput:
     """Render one view. `backend` is "tpu" (Pallas kernels) or "oracle"."""
     proj = project_mod.project(
@@ -87,6 +88,7 @@ def render(
             entry_budget=entry_budget,
             aligned_budget=aligned_budget,
             ptile=ptile,
+            tile_cull=tile_cull,
         )
     else:
         raise ValueError(f"unknown backend: {backend!r}")

@@ -63,6 +63,11 @@ class TileBins:
     orig_idx_aligned: jnp.ndarray  # [L_pad] int32: Gaussian per aligned slot
     # (sentinel N on pad slots)
     aligned_pos_of_presort: jnp.ndarray  # [L] int32: presort slot -> aligned slot
+    presort_valid: jnp.ndarray  # [L] bool: presort slot holds a real,
+    # non-culled entry (culled entries keep their presort slot — the
+    # gaussian-major segment layout is pre-cull — but never reach the
+    # aligned stream, so their aligned_pos_of_presort is garbage and their
+    # gradient contribution must be masked to zero)
     # --- per-CHUNK metadata (consumed by the STREAM kernels) ---
     tile_of_chunk: jnp.ndarray  # [nbc + 1] int32: owning tile per aligned
     # chunk; sentinel T for chunks past aligned_total (and the +1 tail slot,
@@ -114,6 +119,39 @@ def aligned_entry_budget(entry_budget: int, chunk: int = 128) -> int:
     return max(2 * entry_budget, floor)
 
 
+def _box_min_q(mx, my, ca, cb, cc, vx, vy, x0, x1, y0, y1):
+    """Exact minimum of the (convex, positive-definite) conic quadratic
+    q(d) = ca dx^2 + 2 cb dx dy + cc dy^2, d = p - mean, over the pixel box
+    [x0, x1] x [y0, y1]. The kernel's falloff is power = -q/2, so
+    max-over-box alpha = op * exp(-qmin/2).
+
+    If the mean lies inside the box the min is 0; otherwise (convexity) it
+    lies on the boundary, and each edge's 1-D restriction is a quadratic
+    whose vertex clamps into the edge interval — four closed forms.
+    vx = -cb/ca and vy = -cb/cc are the precomputed vertex slopes (no
+    divisions at entry scale)."""
+    ax, bx = x0 - mx, x1 - mx  # dx interval
+    ay, by = y0 - my, y1 - my  # dy interval
+    inside = (ax <= 0.0) & (bx >= 0.0) & (ay <= 0.0) & (by >= 0.0)
+
+    def q(dx, dy):
+        return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+    def edge_x(dx):  # min over dy in [ay, by] at fixed dx
+        dy = jnp.clip(vy * dx, ay, by)
+        return q(dx, dy)
+
+    def edge_y(dy):
+        dx = jnp.clip(vx * dy, ax, bx)
+        return q(dx, dy)
+
+    qmin = jnp.minimum(
+        jnp.minimum(edge_x(ax), edge_x(bx)),
+        jnp.minimum(edge_y(ay), edge_y(by)),
+    )
+    return jnp.where(inside, 0.0, qmin)
+
+
 def _tile_starts(tile_sorted: jnp.ndarray, num_tiles: int) -> jnp.ndarray:
     """searchsorted(tile_sorted, arange(T + 1), side='left') without the
     while loop: XLA's binary search runs log2(L) serialized rounds of
@@ -157,6 +195,7 @@ def bin_gaussians(
     ptile: int | None = None,
     row_lo=None,
     ny_rows: int | None = None,
+    tile_cull: bool = True,
 ) -> TileBins:
     """Bin Gaussians into (processing-)tile entry ranges.
 
@@ -176,7 +215,17 @@ def bin_gaussians(
     traced scalar (e.g. axis_index * rows_per_device); `ny_rows` is static.
     Per-tile entry sets, depth order and chunk alignment are identical to
     an unrestricted bin of the same grid, so sharded compositing is
-    bitwise-equal per tile."""
+    bitwise-equal per tile.
+
+    `tile_cull` (default on) drops entries whose peak alpha over their
+    whole processing tile is provably below the 1/255 contribution
+    threshold (exact min of the conic quadratic over the tile's pixel box,
+    with a safety margin far above the kernels' fp32 noise). Such entries
+    fail the kernel's per-pixel live test at EVERY pixel, so removing them
+    is output- and gradient-exact; it shrinks the aligned stream the
+    kernels walk (big splats cover many rect tiles whose corners are
+    sub-threshold — the dominant regime at dense scale). The entry-budget
+    expansion and overflow accounting stay pre-cull (conservative)."""
     if ptile is None:
         ptile = tile
     assert ptile % tile == 0 and (ptile // tile).bit_count() == 1
@@ -198,11 +247,21 @@ def bin_gaussians(
     # ONE packed row gather (instead of two) with barriers on both sides:
     # gathers fused into their producer (the sort) or consumer chains lower
     # to serialized scalar loops on TPU (see module docstring).
+    cull_cols = []
+    if tile_cull:
+        # conic + per-gaussian alpha threshold for the per-(entry, tile)
+        # cull: exclude iff min-over-box q > 2 ln(255 op) (+ margin); the
+        # columns ride the existing packed row gather.
+        conic = jax.lax.stop_gradient(proj.conic)
+        op = jax.lax.stop_gradient(proj.opacity)
+        thresh = 2.0 * jnp.log(jnp.maximum(255.0 * op, 1e-30))
+        cull_cols = [conic, thresh[:, None]]
     packed_mr = jnp.concatenate(
         [
             mean2d,
             proj.radius.astype(jnp.float32)[:, None],
             jax.lax.stop_gradient(proj.ext).astype(jnp.float32),
+            *cull_cols,
         ],
         axis=1,
     )
@@ -265,7 +324,26 @@ def bin_gaussians(
     # ~0.6 ms per column at L=512k, so fewer columns is a direct win.
     assert nx < 1024 and ny < 1024, "tile grid exceeds the 10-bit field packing"
     packed_geo = rect_min[:, 0] | (rect_min[:, 1] << 10) | (cov_w << 20)
-    fields = jnp.stack([packed_geo, order, offs], axis=1).astype(jnp.int32)  # [N, 3]
+    field_cols = [packed_geo, order, offs]
+    if tile_cull:
+        # mean/conic/threshold columns (bitcast f32 -> s32 so ONE row
+        # gather broadcasts everything; row gathers pay per ROW, so wider
+        # rows are nearly free vs a second gather). Vertex slopes
+        # vx = -cb/ca, vy = -cb/cc are precomputed HERE ([N] scale) so the
+        # [L]-scale qmin evaluation needs no divisions.
+        ca_n, cb_n, cc_n = (packed_s[:, 5], packed_s[:, 6], packed_s[:, 7])
+        cull_f = [
+            packed_s[:, 0],  # mx
+            packed_s[:, 1],  # my
+            ca_n, cb_n, cc_n,
+            packed_s[:, 8],  # thresh = 2 ln(255 op)
+            -cb_n / jnp.where(ca_n != 0, ca_n, 1.0),  # vx
+            -cb_n / jnp.where(cc_n != 0, cc_n, 1.0),  # vy
+        ]
+        field_cols += [
+            jax.lax.bitcast_convert_type(c, jnp.int32) for c in cull_f
+        ]
+    fields = jnp.stack(field_cols, axis=1).astype(jnp.int32)  # [N, 3(+8)]
     # Segment id per entry via a 1-column scatter-ones + cumsum (empty
     # segments share a position; their marks accumulate so cumsum-1 lands on
     # the LAST = owning Gaussian), then ONE row gather of the fields from
@@ -286,9 +364,10 @@ def bin_gaussians(
     )  # [L] depth-rank segment index (== searchsorted(offs, e, 'right') - 1)
     pr = jax.lax.optimization_barrier(
         fields_b[jnp.clip(gi, 0, n - 1)]
-    )  # [L, 3] segment-broadcast fields
-    geo = pr[:, 0]
-    j = e - pr[:, 2]
+    )  # [L, 3(+8)] segment-broadcast fields
+    col = lambda i: pr[:, i]
+    geo = col(0)
+    j = e - col(2)
     cw = jnp.maximum(geo >> 20, 1)
     # j // cw via fp32: vector integer division has no TPU hardware path
     # (lowered to a slow scalar/long-form sequence). (j + 0.5) / cw floors
@@ -299,7 +378,33 @@ def bin_gaussians(
     tx = (geo & 1023) + r
     ty = ((geo >> 10) & 1023) + q
     tile_e = jnp.where(valid_e, ty * nx + tx, num_tiles).astype(jnp.int32)
-    orig_e = jnp.where(valid_e, pr[:, 1], n).astype(jnp.int32)
+    orig_e = jnp.where(valid_e, col(1), n).astype(jnp.int32)
+
+    if tile_cull:
+        # exact per-(entry, tile) peak-alpha cull: alpha over the tile's
+        # pixel box is op * exp(-qmin/2); qmin > 2 ln(255 op) means the
+        # kernel's alpha >= 1/255 live test fails at EVERY pixel, so the
+        # entry is an exact no-op there (zero contribution AND zero
+        # gradient — dead entries are live-masked in the backward too).
+        # The margin (1e-2 in q ~ 0.5% in alpha at the threshold) is far
+        # above the kernels' documented ~1e-5 fp32 power noise.
+        f = lambda i: jax.lax.bitcast_convert_type(col(i), jnp.float32)
+        mx_e, my_e, ca_e, cb_e, cc_e, thr_e, vx_e, vy_e = (
+            f(3), f(4), f(5), f(6), f(7), f(8), f(9), f(10)
+        )
+        ty_glob = ty if row_lo is None else ty + jnp.asarray(row_lo, jnp.int32)
+        px0 = (tx * ptile).astype(jnp.float32)
+        py0 = (ty_glob * ptile).astype(jnp.float32)
+        qmin = _box_min_q(
+            mx_e, my_e, ca_e, cb_e, cc_e, vx_e, vy_e,
+            px0, px0 + (ptile - 1), py0, py0 + (ptile - 1),
+        )
+        keep_e = valid_e & ~(qmin > thr_e + 1e-2)
+        tile_e = jnp.where(keep_e, tile_e, num_tiles)
+        orig_e = jnp.where(keep_e, orig_e, n)
+        presort_valid = keep_e
+    else:
+        presort_valid = valid_e
 
     # Stable sort by tile id: entries are already depth-ordered, so stability
     # gives per-tile front-to-back order (== CUDA's (tile, depth) radix key
@@ -388,7 +493,16 @@ def bin_gaussians(
             jnp.zeros((L,), jnp.int32).at[sc_idx].add(sc_val, mode="drop")
         )
     )
-    aligned_pos_of_sorted = jnp.clip(e + delta_sorted, 0, L_pad - 1)
+    # CULLED entries point at aligned slot 0: the backward's routing gather
+    # then reads a real (initialized) row for them, and the per-gaussian
+    # segment sums subtract count * row0 afterwards (an [N]-scale fix).
+    # Anything that changes the gather's shape or adds a post-gather select
+    # flips XLA's gather-source layout to a ~2x slower row-major form
+    # (measured: zero-row pad 1.88 ms, fused select 1.82 ms, baseline
+    # 0.97 ms), so the gather must stay byte-identical to the uncull form.
+    aligned_pos_of_sorted = jnp.where(
+        tile_sorted < num_tiles, jnp.clip(e + delta_sorted, 0, L_pad - 1), 0
+    )
 
     # aligned index relayout as ONE monotone SCATTER-SET [L] -> [L_pad]
     # (unique destinations; invalid/overflow entries get dest >= L_pad and
@@ -433,6 +547,7 @@ def bin_gaussians(
         aligned_starts=aligned_starts,
         orig_idx_aligned=orig_idx_aligned,
         aligned_pos_of_presort=aligned_pos_of_presort,
+        presort_valid=presort_valid,
         tile_of_chunk=tile_of_chunk,
         k_of_chunk=k_of_chunk,
         row_offset=(

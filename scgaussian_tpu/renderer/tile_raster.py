@@ -147,6 +147,7 @@ def rasterize(
     entry_budget: int | None = None,
     aligned_budget: int | None = None,
     ptile: int | None = None,
+    tile_cull: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full tile pipeline: bin (XLA) -> stream Pallas composite -> assemble.
 
@@ -176,6 +177,7 @@ def rasterize(
         chunk=SCHUNK,
         aligned_budget=aligned_budget,
         ptile=ptile,
+        tile_cull=tile_cull,
     )
     nx = (width + ptile - 1) // ptile
     ny = (height + ptile - 1) // ptile
@@ -205,6 +207,11 @@ def assemble_image(out5, bg_color, nx, ny, ptile, sub, width, height):
         # PER-CHANNEL 6-axis untiles + one stack: the one-shot 7-axis
         # channel-first transpose lowers to a T(2,128)-layout copy chain
         # (9.5 ms at dense 4K); the per-channel form measures 4.2 ms.
+        # AD's transpose of this (5 small reshapes, ~0.9 ms in-graph at
+        # 1080p) also beats a hand-written one-shot 7-axis re-tile custom
+        # VJP (1.5 ms in-graph as a T(2,128) reshape + copy chain, despite
+        # 1.08 vs 1.65 standalone in tools/ubench_assembly.py) — measured
+        # round 4, so don't re-take that path.
         ns = ptile // sub
         img5 = jnp.stack(
             [
@@ -847,6 +854,116 @@ def _zero_dbins(bins):
     return jax.tree_util.tree_map(lambda x: np.zeros(x.shape, float0), bins)
 
 
+SEG_B = 1024  # sorted entries per segment-sum grid step
+SEG_W = SEG_B + 192  # output window KEYS per step: covers the <= SEG_B
+# distinct keys of a block plus the 8-key round-down of the window start
+# and slack; multiple of 64 so the packed window is whole (1, 128) tiles
+
+
+def _segsum_kernel(n_sent, fk8_ref, keys_ref, vals_ref, zeros_ref, out_ref,
+                   acc_ref, head_ref, sem_in, sem_out):
+    """One grid step of the windowed segment-sum over a PACKED output: row
+    r2 of the [n_pad8, 128] output holds keys 8*r2 .. 8*r2+7, 16 gradient
+    columns each (lane group g = key % 8) — whole (1, 128) lane tiles, the
+    only HBM window shape Mosaic slices cleanly. The 16 gradient rows of
+    SEG_B key-sorted entries reduce to per-key sums via 8 one-hot MXU
+    matmuls (one per lane group, sharing one row-match mask) written to
+    packed rows [fk8/8, fk8/8 + SEG_W/8).
+
+    Cross-block state rides the OUTPUT ITSELF: the window's first packed
+    HBM row is read back and accumulated before the write. It holds (a)
+    the open run's partial sum from the previous block (the open key is in
+    [fk8, fk8 + 8) by the round-down), and (b) the final sums of
+    already-closed keys the round-down pulls into this window — both must
+    be preserved, and rows no previous block touched are zero (pre-zeroed
+    aliased output), so the unconditional add is exact. The sequential
+    grid + per-step dma.wait() order the read after the previous write."""
+    fk = fk8_ref[pl.program_id(0)]
+    pr0 = fk // 8  # packed-row window start
+    rd = pltpu.make_async_copy(out_ref.at[pl.ds(pr0, 1)], head_ref, sem_in)
+    rd.start()
+    keys = keys_ref[...]  # [1, SEG_B] int32, non-decreasing
+    # sentinel rows (pad slots, incl. uninitialized rows from skipped
+    # fully-sentinel stream blocks) must be ZEROED, not just ignored: the
+    # one-hot matmul multiplies every value row by 0 in other keys' columns
+    # and 0 * NaN would poison every sum in the block
+    sent = keys == n_sent  # [1, B]
+    vals = jnp.where(sent, 0.0, vals_ref[...])  # [16, B]
+    # sentinel keys remap to window row 0 (their rows are zero, so the sum
+    # they join is unchanged) — the window invariant then only concerns
+    # REAL keys, keeping the real->sentinel transition block on the fast
+    # path (its raw span n_sent - fk8 would always blow the window)
+    rel = jnp.where(sent, 0, keys - fk)  # [1, B], in [0, SEG_W) by invariant
+    rq = rel >> 3  # packed row per entry
+    rm = rel & 7  # lane group per entry
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (SEG_W // 8, 1), 0)
+    rowm = (iota_q == rq).astype(jnp.float32)  # [W/8, B] shared row match
+    # exact in bf16_3x MXU passes: one-hot entries are exactly 0/1, so the
+    # products are the (hi+lo)-split values themselves; accumulation is f32
+    acc = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                rowm * (rm == g).astype(jnp.float32),
+                vals,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [W/8, 16]
+            for g in range(8)
+        ],
+        axis=1,
+    )  # [W/8, 128]
+    rd.wait()
+    acc_ref[...] = jnp.concatenate(
+        [acc[0:1] + head_ref[...], acc[1:]], axis=0
+    )
+    wr = pltpu.make_async_copy(
+        acc_ref, out_ref.at[pl.ds(pr0, SEG_W // 8)], sem_out
+    )
+    wr.start()
+    wr.wait()
+
+
+def _segsum_sorted_mxu(keys2d, fk8, valsT16, n):
+    """Per-key sums of key-sorted gradient rows: [16, L_pad] valsT16 (+ the
+    [nb, SEG_B] reshaped sorted keys) -> [n_pad, 16] with row g holding the
+    sum of rows whose key == g (zero for absent keys). Caller guarantees
+    every block's key span fits its SEG_W window (checked in
+    _route_by_sort; lax.cond falls back to the cumsum route otherwise)."""
+    nb = keys2d.shape[0]
+    # packed output: row r2 <-> keys [8 r2, 8 r2 + 8), 16 lanes per key
+    n_pad8 = (n + 1 + 7) // 8 + SEG_W // 8
+    zeros = jnp.zeros((n_pad8, 128), jnp.float32)
+    # keys ride as [1, L_pad]: a (1, SEG_B) block is legal only when the
+    # second-minor block dim EQUALS the array dim (Mosaic's divisible-by-8
+    # rule exempts exact matches); [nb, SEG_B] with (1, SEG_B) blocks is
+    # rejected by the compiled lowering
+    keys_row = keys2d.reshape(1, nb * SEG_B)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, SEG_B), lambda b, fk: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, SEG_B), lambda b, fk: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # pre-zeroed out alias
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((SEG_W // 8, 128), jnp.float32),
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out2 = pl.pallas_call(
+        functools.partial(_segsum_kernel, n),
+        out_shape=jax.ShapeDtypeStruct((n_pad8, 128), jnp.float32),
+        grid_spec=grid_spec,
+        input_output_aliases={3: 0},
+        interpret=_use_interpret(),
+    )(fk8, keys_row, valsT16, zeros)
+    return out2.reshape(n_pad8 * 8, 16)  # pure row-major view
+
+
 def _route_by_sort(dT, bins, n_attr, R_USED):
     """Entry->Gaussian gradient reduction via ONE (key, payloads) sort.
 
@@ -854,12 +971,15 @@ def _route_by_sort(dT, bins, n_attr, R_USED):
     existing orig_idx_aligned array; pad/sentinel slots carry key N and
     land — together with any uninitialized rows from skipped sentinel
     blocks — in a suffix run that is never read). Each Gaussian then owns a
-    contiguous run, located with the two-level sampled search; runs tile
-    the array contiguously, so per-Gaussian sums are the SHIFTED differences
-    of one cumsum boundary row-gather, directly in original-index order (no
-    rank->orig reorder). The row-major dT feeds the sort as 10 contiguous
-    [L_pad] column views — the entry-major transpose of the gather path
-    disappears too."""
+    contiguous run and per-Gaussian sums come from the windowed one-hot MXU
+    segment-sum kernel (_segsum_sorted_mxu), directly in original-index
+    order. Fallback (lax.cond) when some block's key span exceeds the
+    kernel's SEG_W window (keys jump over > SEG_W - SEG_B absent Gaussians
+    within one block — only plausible in sparse scenes far below the
+    SORT_ROUTE_MIN_L gate): cumsum + shifted boundary-row differences, the
+    pre-kernel route (a [L_pad, 10] row gather measured 9.1 ms at dense 4K
+    vs ~2-3 ms for the kernel). The row-major dT feeds the sort as 10
+    contiguous [L_pad] column views — no entry-major transpose."""
     from scgaussian_tpu.renderer.binning import _tile_starts
 
     n = n_attr - 1  # attrs carries the +1 sentinel row
@@ -868,19 +988,39 @@ def _route_by_sort(dT, bins, n_attr, R_USED):
     routed = jax.lax.sort(
         (keys,) + tuple(dT[i] for i in range(R_USED)), num_keys=1
     )
-    starts_g = _tile_starts(routed[0], n)  # [N + 1] run boundaries
-    d_sorted = jnp.stack(routed[1:], axis=1)  # [L_pad, R_USED]
-    csum = jax.lax.optimization_barrier(jnp.cumsum(d_sorted, axis=0))
-    seg_last = starts_g[1:] - 1  # [N] inclusive run end (== next run start - 1)
-    # NaN-safe select: with zero real entries the clipped gather can read a
-    # garbage row from a skipped sentinel block
-    end_vals = jnp.where(
-        (seg_last >= 0)[:, None], csum[jnp.clip(seg_last, 0, L_pad - 1)], 0.0
-    )
-    start_prev = jnp.concatenate(
-        [jnp.zeros((1, R_USED), end_vals.dtype), end_vals[:-1]], axis=0
-    )
-    d_attrs = end_vals - start_prev  # [N, R_USED] original-index order
+    keys_s = routed[0]
+    nb = L_pad // SEG_B
+    keys2d = keys_s.reshape(nb, SEG_B)
+    fk8 = (keys2d[:, 0] // 8) * 8  # [nb] window starts (8-row aligned)
+    # window invariant over REAL keys only (the kernel remaps sentinel keys
+    # to row 0): a block with no real keys checks -1 - fk8 < 0 < SEG_W
+    lk_real = jnp.max(jnp.where(keys2d == n, -1, keys2d), axis=1)
+    window_ok = jnp.all(lk_real - fk8 < SEG_W)
+
+    def fast(_):
+        zrow = jnp.zeros_like(routed[1])
+        valsT16 = jnp.stack(
+            list(routed[1:]) + [zrow] * (16 - R_USED), axis=0
+        )  # [16, L_pad] row-major (contiguous concat of the sort outputs)
+        out = _segsum_sorted_mxu(keys2d, fk8, valsT16, n)
+        return out[:n, :R_USED]
+
+    def slow(_):
+        starts_g = _tile_starts(keys_s, n)  # [N + 1] run boundaries
+        d_sorted = jnp.stack(routed[1:], axis=1)  # [L_pad, R_USED]
+        csum = jax.lax.optimization_barrier(jnp.cumsum(d_sorted, axis=0))
+        seg_last = starts_g[1:] - 1  # [N] inclusive run end
+        # NaN-safe select: with zero real entries the clipped gather can
+        # read a garbage row from a skipped sentinel block
+        end_vals = jnp.where(
+            (seg_last >= 0)[:, None], csum[jnp.clip(seg_last, 0, L_pad - 1)], 0.0
+        )
+        start_prev = jnp.concatenate(
+            [jnp.zeros((1, R_USED), end_vals.dtype), end_vals[:-1]], axis=0
+        )
+        return end_vals - start_prev  # [N, R_USED] original-index order
+
+    d_attrs = jax.lax.cond(window_ok, fast, slow, None)
     d_attrs = jnp.concatenate(
         [d_attrs, jnp.zeros((n, NUM_ROWS - R_USED), d_attrs.dtype)], axis=1
     )
@@ -913,14 +1053,25 @@ def _stream_gather_bwd(nx, ny, tilesize, sub, ny_total, res, gout):
         return _route_by_sort(dT, bins, n_attr, R_USED), _zero_dbins(bins)
     # ONE XLA transpose to entry-major for the routing gather (replaces
     # 8192 in-kernel [8, C] transposes); barrier keeps the transpose and the
-    # gather as separate vectorized ops (fused they serialize)
+    # gather as separate vectorized ops (fused they serialize). The gather
+    # is byte-identical to the cull-free form — CULLED presort slots point
+    # at aligned slot 0 (binning sanitizes the index) and read a real row,
+    # which an [N]-scale count*row0 correction subtracts after the segment
+    # sums; any shape change or fused select here flips the gather source
+    # to a ~2x slower row-major layout (measured, see binning).
     d_aligned = jax.lax.optimization_barrier(dT[:R_USED].T)
     d_presort = d_aligned[bins.aligned_pos_of_presort]
     e = jnp.arange(L, dtype=jnp.int32)
+    real = e < bins.total_entries
     # NaN-safe select (not multiply): invalid presort slots clip into
     # skipped fully-sentinel blocks whose dblk rows are uninitialized
-    d_presort = jnp.where((e < bins.total_entries)[:, None], d_presort, 0.0)
-    csum = jax.lax.optimization_barrier(jnp.cumsum(d_presort, axis=0))
+    d_presort = jnp.where(real[:, None], d_presort, 0.0)
+    # culled-entry counter rides the cumsum as an 11th column (a SEPARATE
+    # 1-column cumsum + boundary gather measured 1.2 ms EXTRA at 1080p
+    # without speeding the main gather back up — don't split it)
+    culled_col = (real & ~bins.presort_valid).astype(d_presort.dtype)
+    d_ext = jnp.concatenate([d_presort, culled_col[:, None]], axis=1)
+    csum = jax.lax.optimization_barrier(jnp.cumsum(d_ext, axis=0))
     # ONE boundary gather instead of two: segments are contiguous in depth
     # rank, so the previous segment's end value is just the SHIFTED end-value
     # row (empty segments read their predecessor's end and difference to 0)
@@ -929,7 +1080,17 @@ def _stream_gather_bwd(nx, ny, tilesize, sub, ny_total, res, gout):
     start_prev = jnp.concatenate(
         [jnp.zeros((1, end_vals.shape[1]), end_vals.dtype), end_vals[:-1]], axis=0
     )
-    sums_rank = end_vals - start_prev
+    sums_ext = end_vals - start_prev  # [N, R_USED + 1]
+    # subtract the slot-0 row once per culled entry; if nothing was kept at
+    # all, slot 0 is an uninitialized skipped block — select, don't multiply.
+    # Read slot 0 from dT (16 strided scalar loads), NOT d_aligned: a second
+    # consumer of d_aligned lets XLA layout assignment flip the routing
+    # gather's source layout.
+    d0 = jnp.where(
+        bins.aligned_starts[-1] > 0, dT[:R_USED, 0], jnp.zeros((R_USED,), dT.dtype)
+    )
+    ccnt = sums_ext[:, R_USED:]
+    sums_rank = sums_ext[:, :R_USED] - jnp.where(ccnt > 0, ccnt * d0[None, :], 0.0)
     d_attrs = jax.lax.optimization_barrier(sums_rank)[bins.inv_order]
     d_attrs = jnp.concatenate(
         [d_attrs, jnp.zeros((d_attrs.shape[0], NUM_ROWS - R_USED), d_attrs.dtype)],

@@ -483,3 +483,101 @@ def test_sort_route_backward_parity(monkeypatch):
         np.testing.assert_allclose(
             b, a, atol=1e-5 * (np.abs(a).max() + 1e-8), err_msg=name
         )
+
+
+def _segsum_reference(keys, vals, n):
+    """numpy reference: per-key sums of rows (keys sorted; key n = sentinel)."""
+    out = np.zeros((n, vals.shape[1]), np.float64)
+    for k, v in zip(keys, vals):
+        if k < n:
+            out[k] += v
+    return out.astype(np.float32)
+
+
+def test_segsum_mxu_kernel_adversarial():
+    """The windowed one-hot MXU segment-sum (_segsum_sorted_mxu) against a
+    numpy reference on adversarial key layouts: runs spanning block
+    boundaries (carry), whole blocks of one key, absent keys (must stay
+    zero via the pre-zeroed aliased output), a sentinel suffix crossing a
+    block boundary mid-block, and key jumps right up to the window bound."""
+    from scgaussian_tpu.renderer.tile_raster import (
+        SEG_B, SEG_W, _segsum_sorted_mxu,
+    )
+
+    rng = np.random.default_rng(3)
+    L_pad = 4 * SEG_B
+    n = 2200
+
+    def run_case(keys):
+        keys = np.asarray(keys, np.int32)
+        assert keys.shape == (L_pad,) and np.all(np.diff(keys) >= 0)
+        vals = rng.normal(size=(L_pad, 10)).astype(np.float32)
+        # sentinel rows carry NaN garbage like uninitialized skipped blocks
+        vals[keys == n] = np.nan
+        valsT16 = np.zeros((16, L_pad), np.float32)
+        valsT16[:10] = vals.T
+        keys2d = keys.reshape(-1, SEG_B)
+        fk8 = (keys2d[:, 0] // 8) * 8
+        lk_real = np.max(np.where(keys2d == n, -1, keys2d), axis=1)
+        assert np.all(lk_real - fk8 < SEG_W), "case must fit the window"
+        out = np.asarray(
+            jax.jit(_segsum_sorted_mxu, static_argnums=3)(
+                jnp.asarray(keys2d), jnp.asarray(fk8), jnp.asarray(valsT16), n
+            )
+        )[:n, :10]
+        ref = _segsum_reference(keys, np.where(np.isnan(vals), 0, vals), n)
+        np.testing.assert_allclose(out, ref, atol=2e-5 * (np.abs(ref).max() + 1))
+
+    # case 1: one run spanning three whole blocks (deep carry chain)
+    k = np.concatenate([
+        np.full(SEG_B // 2, 7), np.full(2 * SEG_B + SEG_B // 2, 8),
+        np.full(SEG_B, n),
+    ])
+    run_case(np.sort(k))
+
+    # case 2: dense consecutive runs with boundary-crossing runs + suffix
+    k = np.sort(rng.integers(0, 900, 3 * SEG_B + 17))
+    run_case(np.concatenate([k, np.full(L_pad - k.size, n)]))
+
+    # case 3: sparse keys jumping close to the window bound within a block
+    base = np.sort(rng.choice(np.arange(0, SEG_W - 8, 13), 40, replace=False))
+    k = np.sort(np.concatenate([
+        rng.choice(base, 2 * SEG_B), base + 960,
+        np.full(L_pad - 2 * SEG_B - base.size, n),
+    ]))
+    run_case(k)
+
+    # case 4: every block exactly one key (carry closes at each boundary)
+    run_case(np.repeat(np.asarray([3, 3, 1700, n]), SEG_B))
+
+
+def test_sort_route_window_fallback(monkeypatch):
+    """When a block's real-key span exceeds SEG_W the lax.cond falls back
+    to the cumsum route; gradients must match the gather route exactly the
+    same way as the fast path (forced by shrinking the window constant)."""
+    from scgaussian_tpu.renderer import tile_raster
+
+    cam = make_camera(48, 32)
+    means, scales, quats, opac, shs = make_scene(
+        n=24, seed=9, opacity_range=(0.3, 0.8)
+    )
+    bg = jnp.asarray([0.3, 0.3, 0.3])
+
+    def loss(means, scales, quats, opac, shs):
+        out = render(
+            cam, means, opac, bg, scales=scales, rotations=quats, shs=shs,
+            active_sh_degree=2, backend="tpu", ptile=32,
+        )
+        return jnp.sum(out.render**2) + 0.1 * jnp.sum(out.rendered_alpha)
+
+    args = (means, scales, quats, opac, shs)
+    g_gather = jax.grad(loss, argnums=(0, 1))(*args)
+    monkeypatch.setattr(tile_raster, "SORT_ROUTE_MIN_L", 0)
+    # a window too small for any real block span -> window_ok False -> slow
+    monkeypatch.setattr(tile_raster, "SEG_W", 8)
+    g_slow = jax.grad(loss, argnums=(0, 1))(*args)
+    for name, a, b in zip(["means", "scales"], g_gather, g_slow):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            b, a, atol=1e-5 * (np.abs(a).max() + 1e-8), err_msg=name
+        )

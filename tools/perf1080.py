@@ -25,7 +25,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build(dense: bool, fwd_only: bool, ptile=16):
+def build(dense: bool, fwd_only: bool, ptile=16, tile_cull=True):
     import jax
     import jax.numpy as jnp
 
@@ -56,7 +56,8 @@ def build(dense: bool, fwd_only: bool, ptile=16):
     def loss(*a):
         out = render(
             cam, a[0], a[1], jnp.zeros(3), scales=a[2], rotations=a[3],
-            shs=a[4], active_sh_degree=3, backend="tpu", **budgets,
+            shs=a[4], active_sh_degree=3, backend="tpu",
+            tile_cull=tile_cull, **budgets,
         )
         return (
             jnp.sum(out.render**2)
@@ -89,11 +90,12 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--trace-dir", default="/tmp/perf1080_trace")
     ap.add_argument("--no-trace", action="store_true")
+    ap.add_argument("--no-cull", action="store_true")
     args = ap.parse_args()
 
     import jax
 
-    step, inputs, nrays = build(args.dense, args.fwd_only, args.ptile)
+    step, inputs, nrays = build(args.dense, args.fwd_only, args.ptile, not args.no_cull)
 
     t0 = time.time()
     out = step(*inputs)
