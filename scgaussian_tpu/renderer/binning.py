@@ -327,23 +327,24 @@ def bin_gaussians(
     field_cols = [packed_geo, order, offs]
     if tile_cull:
         # mean/conic/threshold columns (bitcast f32 -> s32 so ONE row
-        # gather broadcasts everything; row gathers pay per ROW, so wider
-        # rows are nearly free vs a second gather). Vertex slopes
-        # vx = -cb/ca, vy = -cb/cc are precomputed HERE ([N] scale) so the
-        # [L]-scale qmin evaluation needs no divisions.
-        ca_n, cb_n, cc_n = (packed_s[:, 5], packed_s[:, 6], packed_s[:, 7])
+        # gather broadcasts everything; row gathers pay per ROW, but the
+        # broadcast gather's column split costs ~1.1 ms/column at dense
+        # 4K, so every droppable column counts: the vertex slopes
+        # vx = -cb/ca, vy = -cb/cc are RECOMPUTED at [L] scale (two
+        # vectorized fp32 divisions ~ microseconds) instead of riding as
+        # two more columns).
         cull_f = [
             packed_s[:, 0],  # mx
             packed_s[:, 1],  # my
-            ca_n, cb_n, cc_n,
+            packed_s[:, 5],  # ca
+            packed_s[:, 6],  # cb
+            packed_s[:, 7],  # cc
             packed_s[:, 8],  # thresh = 2 ln(255 op)
-            -cb_n / jnp.where(ca_n != 0, ca_n, 1.0),  # vx
-            -cb_n / jnp.where(cc_n != 0, cc_n, 1.0),  # vy
         ]
         field_cols += [
             jax.lax.bitcast_convert_type(c, jnp.int32) for c in cull_f
         ]
-    fields = jnp.stack(field_cols, axis=1).astype(jnp.int32)  # [N, 3(+8)]
+    fields = jnp.stack(field_cols, axis=1).astype(jnp.int32)  # [N, 3(+6)]
     # Segment id per entry via a 1-column scatter-ones + cumsum (empty
     # segments share a position; their marks accumulate so cumsum-1 lands on
     # the LAST = owning Gaussian), then ONE row gather of the fields from
@@ -364,7 +365,7 @@ def bin_gaussians(
     )  # [L] depth-rank segment index (== searchsorted(offs, e, 'right') - 1)
     pr = jax.lax.optimization_barrier(
         fields_b[jnp.clip(gi, 0, n - 1)]
-    )  # [L, 3(+8)] segment-broadcast fields
+    )  # [L, 3(+6)] segment-broadcast fields
     col = lambda i: pr[:, i]
     geo = col(0)
     j = e - col(2)
@@ -389,9 +390,11 @@ def bin_gaussians(
         # The margin (1e-2 in q ~ 0.5% in alpha at the threshold) is far
         # above the kernels' documented ~1e-5 fp32 power noise.
         f = lambda i: jax.lax.bitcast_convert_type(col(i), jnp.float32)
-        mx_e, my_e, ca_e, cb_e, cc_e, thr_e, vx_e, vy_e = (
-            f(3), f(4), f(5), f(6), f(7), f(8), f(9), f(10)
+        mx_e, my_e, ca_e, cb_e, cc_e, thr_e = (
+            f(3), f(4), f(5), f(6), f(7), f(8)
         )
+        vx_e = -cb_e / jnp.where(ca_e != 0, ca_e, 1.0)
+        vy_e = -cb_e / jnp.where(cc_e != 0, cc_e, 1.0)
         ty_glob = ty if row_lo is None else ty + jnp.asarray(row_lo, jnp.int32)
         px0 = (tx * ptile).astype(jnp.float32)
         py0 = (ty_glob * ptile).astype(jnp.float32)

@@ -48,6 +48,60 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 128
+# In-kernel matmul precision. Mosaic lowers f32 dot_generals to ONE bf16
+# MXU pass by default (8-bit mantissas): measured 5% mean / 0.7 max image
+# divergence vs the f32 oracle on real TPU — far outside the CUDA-parity
+# contract, dominated by the quadratic form's 1/255-threshold flips.
+# Mosaic supports only DEFAULT and HIGHEST (no bf16_3x HIGH), and HIGHEST
+# NaN-poisons sentinel-slot lanes inside live chunks (its hi/lo operand
+# split misbehaves in the full kernel context; a standalone repro is
+# clean), so near-f32 matmuls are HAND-ROLLED instead: operands split into
+# exact-bf16 hi/lo parts whose passes CONCATENATE along the contraction
+# axis into ONE DEFAULT-precision matmul (every bf16 rounding an identity,
+# f32 accumulation; see the per-site concats). SCG_KERNEL_PRECISION=fast
+# restores single-pass bf16 everywhere (~0.5% images/gradients) for
+# throughput experiments.
+import os as _os
+
+KERNEL_FAST = _os.environ.get("SCG_KERNEL_PRECISION", "f32") == "fast"
+
+
+def _split3(x):
+    """x == h + m + l, all three bf16-exact (24-bit mantissa coverage): a
+    DEFAULT matmul against exact-bf16 counterparts computes full-f32
+    products. Used where errors CASCADE through thresholds (the quadratic
+    form's 1/255 live test, the prefix sums' sticky early-stop replay):
+    the 2-term split's 2^-16 recovery measured 1.5e-2 mean image error on
+    TPU purely from inclusion flips."""
+    h = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - h
+    m = r.astype(jnp.bfloat16).astype(jnp.float32)
+    return h, m, r - m
+
+
+def _split_hl(x):
+    """x == hi + lo with both parts EXACTLY representable in bf16 (hi is
+    the bf16 rounding of x; lo = x - hi has <= 8 significant bits... for
+    normal f32 inputs lo's mantissa fits bf16 up to the 16th bit of x).
+    A DEFAULT-precision matmul of bf16-exact operands computes exact
+    products with f32 accumulation."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
+def _dotf(a, b, dims):
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32
+    )
+# The hi/lo passes are fused into ONE matmul by CONCATENATING the split
+# terms along the CONTRACTION axis (sum over concatenated K == sum of the
+# per-pass products): adding two separate in-kernel matmul results
+# NaN-poisons sentinel lanes (same Mosaic misbehavior as HIGHEST), and for
+# K <= 128 sites the MXU pads K to 128 anyway, making the extra terms
+# FREE. Each call site builds its own term concat (the concat axis and
+# the exact/split status of each operand differ per site).
+
+
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 LOG_T_EPS = float(np.log(1e-4).astype(np.float32))
@@ -77,6 +131,14 @@ def _tri_matrix(size: int = CHUNK) -> jnp.ndarray:
     (L @ TRI)[p, i] = inclusive prefix sum of L along lanes."""
     j = np.arange(size)
     return jnp.asarray((j[:, None] <= j[None, :]).astype(np.float32))
+
+
+def _tri3() -> jnp.ndarray:
+    """[3 SUB, SUB] = [tri; tri; tri], the prefix matmul's contraction
+    concat (ONE K=96 matmul computes tri @ (xh + xm + xl) with every
+    product exact — tri is 0/1 and the split terms are bf16-exact)."""
+    t = _tri_matrix(SUB)
+    return jnp.concatenate([t, t, t], axis=0)
 
 
 def _use_interpret() -> bool:
@@ -342,7 +404,7 @@ PBLK = 256  # pixel-block width: chunks evaluate pixels in [C, PBLK] blocks
 # (and Mosaic register pressure) as the 16x16 baseline
 
 
-def _prefix_sublanes(x, tri32):
+def _prefix_sublanes(x, tri3):
     """Inclusive prefix sum of x [SCHUNK, P] along SUBLANES via NSUB
     independent [SUB, SUB] triangular matmuls + a cheap carry combine —
     SCHUNK/SUB times fewer MXU MACs than one [SCHUNK, SCHUNK] triangular
@@ -352,10 +414,15 @@ def _prefix_sublanes(x, tri32):
     carry = None
     for g in range(nsub):
         xg = x[g * SUB : (g + 1) * SUB, :]
-        sg = jax.lax.dot_general(
-            tri32, xg, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [SUB, P] inclusive within the group
+        if KERNEL_FAST:
+            sg = _dotf(tri3[:SUB], xg, (((0,), (0,)), ((), ())))
+        else:
+            xh, xm, xl = _split3(xg)
+            xcat = jnp.concatenate([xh, xm, xl], axis=0)  # [3 SUB, P]
+            # tri3 = [tri; tri; tri]: ONE K=96 matmul == the exact f32
+            # prefix (tri is 0/1; the split terms are bf16-exact). Full
+            # 24-bit recovery: the prefix feeds the sticky early-stop.
+            sg = _dotf(tri3, xcat, (((0,), (0,)), ((), ())))
         pieces.append(sg if carry is None else sg + carry)
         tot = sg[SUB - 1 : SUB, :]
         carry = tot if carry is None else carry + tot
@@ -367,6 +434,32 @@ PEN_BIG = 1e9  # added to `power` for pixels outside the semantic rect: far
 # above POWER_EPS so the standard power test excludes them exactly (replaying
 # CUDA rect membership), far below fp32 overflow when summed with any real
 # quadratic-form value (|a0| < ~1e8 at 4K image scale)
+
+
+def _pix_basis6(tilesize: int, P: int, sub: int | None = None):
+    """[P, 6 _NQ] = [ph x3 | pl x3]: the pixel basis split into bf16-exact
+    hi/lo parts (integers <= 961 split exactly into two bf16 terms) and
+    pre-concatenated for the full-f32 quadratic-form matmul's contraction
+    concat against [ch; cm; cl; ch; cm; cl] — all 6 products exact."""
+    pixb = _pix_basis(tilesize, P, sub)
+    ph = pixb.astype(jnp.bfloat16).astype(jnp.float32)
+    pl_ = pixb - ph
+    return jnp.concatenate([ph, ph, ph, pl_, pl_, pl_], axis=1)
+
+
+def _pix_basis_mt(tilesize: int, P: int, pblk: int, sub: int | None = None):
+    """[3 P, _NQ] BLOCK-MAJOR basis for the backward's mt matmul: rows
+    [3 pblk pb, 3 pblk (pb+1)) hold [ph_blk; pl_blk; ph_blk] for pixel
+    block pb — ONE contiguous static slice per block, because an in-kernel
+    sublane concat of slices with different lane offsets is rejected by
+    Mosaic."""
+    pixb = _pix_basis(tilesize, P, sub)
+    ph = pixb.astype(jnp.bfloat16).astype(jnp.float32)
+    pl_ = pixb - ph
+    nb = P // pblk
+    phr = ph.reshape(nb, pblk, _NQ)
+    plr = pl_.reshape(nb, pblk, _NQ)
+    return jnp.stack([phr, plr, phr], axis=1).reshape(3 * P, _NQ)
 
 
 def _stream_entry_coefs(ablk_ref, sl, bx, by, sub):
@@ -395,7 +488,13 @@ def _stream_entry_coefs(ablk_ref, sl, bx, by, sub):
     a1 = ca * mx + cb * my
     a2 = cc * my + cb * mx
     a0 = -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my
-    logop = jnp.log(op)  # -inf on the zero sentinel row => alpha == 0
+    # clamp keeps the zero sentinel row FINITE: log(0) = -inf NaN-poisons
+    # the split-matmul quadratic form (the hi/lo operand split computes
+    # -inf - (-inf) = NaN, and NaN x one-hot-0 stays NaN). 1e-37 is a
+    # NORMAL f32 (1e-38 is subnormal and flush-to-zero turned the clamp
+    # into a no-op); exp(-85 + power) == 0 in fp32 for every real power,
+    # so sentinel alpha is still exactly 0.
+    logop = jnp.log(jnp.maximum(op, 1e-37))
     rows = [
         [a1, a1],
         [a2, a2],
@@ -441,13 +540,28 @@ def _stream_block_alpha(parts, rect, pixb, gx, gy):
     coef = jnp.concatenate(
         [jnp.concatenate([a0, a0 + logop], axis=1), tail], axis=0
     )  # [_NQ, 2C]
-    pp = jax.lax.dot_general(
-        coef, pixb, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [2C, PB]
+    # pixb carries [ph x3 | pl x3] (see _pix_basis6); the coef concat
+    # [ch; cm; cl] x2 turns the six FULL-f32 passes into ONE K=48 matmul —
+    # free on the MXU (K pads to 128). Full 24-bit coef recovery matters:
+    # power feeds the 1/255 live test whose flips cascade into the sticky
+    # early-stop (2-term recovery measured 1.5e-2 mean image error).
+    if KERNEL_FAST:
+        pp = _dotf(coef, pixb[:, :_NQ], (((0,), (1,)), ((), ())))
+    else:
+        ch, cm, cl = _split3(coef)
+        coef_cat = jnp.concatenate(
+            [ch, cm, cl, ch, cm, cl], axis=0
+        )  # [6 _NQ, 2C]
+        pp = _dotf(coef_cat, pixb, (((0,), (1,)), ((), ())))  # [2C, PB]
     C = a0.shape[1]
     power = pp[:C]
     powop = pp[C:]
-    alpha_pre = jnp.exp(powop - jnp.maximum(power, 0.0))  # == op * exp(min(power, 0))
+    # == op * exp(min(power, 0)); the exponent is mathematically <= 0
+    # (it equals logop + min(power, 0)), but for rect-outside pixels both
+    # quadratic forms carry PEN_BIG ~ 1e9 and their fp difference can land
+    # ~ +-1e2 — the explicit min keeps exp() from overflowing to inf there
+    # (0 * inf = NaN in the backward's d_power)
+    alpha_pre = jnp.exp(jnp.minimum(powop - jnp.maximum(power, 0.0), 0.0))
     alpha = jnp.minimum(ALPHA_MAX, alpha_pre)
     live = jnp.where((power <= POWER_EPS) & (alpha >= ALPHA_MIN), 1.0, 0.0)
     alpha = alpha * live
@@ -510,6 +624,9 @@ def _stream_fwd_block(
         by = ((tt // nx) * tilesize).astype(jnp.float32)
         parts, rect, _ = _stream_entry_coefs(ablk_ref, sl, bx, by, sub)
         attrs8 = ablk_ref[ROW_R : ROW_R + 8, sl]  # [8, C]
+        if not KERNEL_FAST:
+            ah, al = _split_hl(attrs8)
+            attrs_cat = jnp.concatenate([ah, al, ah], axis=1)  # [8, 3C]
         nsx = 1 if sub is None else tilesize // sub
         for pb in range(P // pblk):
             psl = slice(pb * pblk, (pb + 1) * pblk)
@@ -529,10 +646,16 @@ def _stream_fwd_block(
             inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done)
             T_before = jnp.exp(logT_after - l)
             w = alpha * T_before * inc  # [C, PB]
-            st_acc[:, psl] = acc_in + jax.lax.dot_general(
-                attrs8, w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if KERNEL_FAST:
+                acc_add = _dotf(attrs8, w, (((1,), (0,)), ((), ())))
+            else:
+                wh, wl = _split_hl(w)
+                acc_add = _dotf(
+                    attrs_cat,  # [8, 3C] = [ah | al | ah] (hoisted)
+                    jnp.concatenate([wh, wh, wl], axis=0),  # [3C, PB]
+                    (((1,), (0,)), ((), ())),
+                )
+            st_acc[:, psl] = acc_in + acc_add
             st_logT[:, psl] = logT + jnp.sum(l * inc, axis=0, keepdims=True)
             st_done[:, psl] = jnp.maximum(
                 done,
@@ -548,7 +671,8 @@ def _stream_fwd_block(
 def _stream_bwd_kernel(
     nx: int, tilesize: int, T_total: int, grid: int, sub: int | None,
     tile_c_ref, k_c_ref,
-    tri_ref, pixb_ref, ablk_ref, outblk_ref, prevblk_ref, gblk_ref,
+    tri_ref, pixb_ref, pixbmt_ref, ablk_ref, outblk_ref, prevblk_ref,
+    gblk_ref,
     totblk_ref,
     dblk_ref,
 ):
@@ -579,14 +703,15 @@ def _stream_bwd_kernel(
     def _live_block_bwd():
         _stream_bwd_block(
             nx, tilesize, T_total, sub, tile_c_ref, k_c_ref, tri_ref,
-            pixb_ref, ablk_ref, outblk_ref, prevblk_ref, gblk_ref,
-            totblk_ref, dblk_ref, i,
+            pixb_ref, pixbmt_ref, ablk_ref, outblk_ref, prevblk_ref,
+            gblk_ref, totblk_ref, dblk_ref, i,
         )
 
 
 def _stream_bwd_block(
     nx, tilesize, T_total, sub, tile_c_ref, k_c_ref, tri_ref, pixb_ref,
-    ablk_ref, outblk_ref, prevblk_ref, gblk_ref, totblk_ref, dblk_ref, i,
+    pixbmt_ref, ablk_ref, outblk_ref, prevblk_ref, gblk_ref, totblk_ref,
+    dblk_ref, i,
 ):
     P = tilesize * tilesize
     pblk = sub * sub if sub is not None else min(P, PBLK)  # see _stream_fwd_block
@@ -646,11 +771,19 @@ def _stream_bwd_block(
                 inc = jnp.where(logT_after >= LOG_T_EPS, 1.0, 0.0) * (1.0 - done_e)
                 T_before = jnp.exp(logT_after - l)
                 w = alpha * T_before * inc
-                g_w = jax.lax.dot_general(
-                    attrs8[0:G_ROWS], g8, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [C, PB]  (row 4 of the operand is a zero attr row, so
-                # the logT cotangent cannot leak into g_w)
+                if KERNEL_FAST:
+                    g_w = _dotf(
+                        attrs8[0:G_ROWS], g8, (((0,), (0,)), ((), ()))
+                    )
+                else:
+                    a5h, a5l = _split_hl(attrs8[0:G_ROWS])
+                    g8h, g8l = _split_hl(g8)
+                    g_w = _dotf(
+                        jnp.concatenate([a5h, a5l, a5h], axis=0),
+                        jnp.concatenate([g8h, g8h, g8l], axis=0),
+                        (((0,), (0,)), ((), ())),
+                    )  # [C, PB]  (row 4 of the operand is a zero attr row,
+                # so the logT cotangent cannot leak into g_w)
                 gww = g_w * w  # w carries inc
                 prefA = accdot + _prefix_sublanes(gww, tri_ref[:])  # inclusive
                 A = total - prefA  # strict suffix over j > i
@@ -664,17 +797,30 @@ def _stream_bwd_block(
                 # EVERYTHING below stays in ROW space ([k, C]: entries on
                 # lanes); per-pixel-block partial sums accumulate in
                 # registers across the pixel blocks.
-                da = jax.lax.dot_general(
-                    g8, w, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [G_ROWS, C] (row 4 = g_logT * w, never routed: R_USED
-                # stops at ROW_D)
-                # per-entry pixel sums via the quadratic basis:
-                # MT[b, c] = sum_p pixb[p, b] * d_power[c, p]
-                mt = jax.lax.dot_general(
-                    pixb, d_power, (((0,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [_NQ, C]
+                if KERNEL_FAST:
+                    da = _dotf(g8, w, (((1,), (1,)), ((), ())))
+                    mt = _dotf(
+                        pixb[:, :_NQ], d_power, (((0,), (1,)), ((), ()))
+                    )
+                else:
+                    wh, wl = _split_hl(w)
+                    dph, dpl = _split_hl(d_power)
+                    da = _dotf(
+                        jnp.concatenate([g8h, g8l, g8h], axis=1),
+                        jnp.concatenate([wh, wh, wl], axis=1),
+                        (((1,), (1,)), ((), ())),
+                    )  # [G_ROWS, C] (row 4 = g_logT * w, never routed:
+                    # R_USED stops at ROW_D)
+                    # per-entry pixel sums via the quadratic basis:
+                    # MT[b, c] = sum_p pixb[p, b] * d_power[c, p]; the
+                    # [ph; pl; ph] operand is ONE contiguous slice of the
+                    # block-major basis (in-kernel sublane concats of
+                    # slices with different lane offsets are rejected)
+                    mt = _dotf(
+                        pixbmt_ref[3 * pb * pblk : 3 * (pb + 1) * pblk, :],
+                        jnp.concatenate([dph, dph, dpl], axis=1),
+                        (((0,), (1,)), ((), ())),
+                    )  # [_NQ, C]
                 d_attrs_rows = da if d_attrs_rows is None else d_attrs_rows + da
                 MT = mt if MT is None else MT + mt
             S0, Sx, Sy = MT[0:1], MT[1:2], MT[2:3]
@@ -733,8 +879,8 @@ def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, t_total, tilesize, s
         num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((SUB, SUB), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * SUB, SUB), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 6 * _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NUM_ROWS, CPB * SCHUNK), lambda i, tc, kc: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -749,7 +895,7 @@ def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, t_total, tilesize, s
         out_shape=jax.ShapeDtypeStruct((nbc, 8, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(tile_of_chunk, k_of_chunk, _tri_matrix(SUB), _pix_basis(tilesize, P, sub), attrsT)
+    )(tile_of_chunk, k_of_chunk, _tri3(), _pix_basis6(tilesize, P, sub), attrsT)
 
 
 def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, totchunks, nx, t_total, tilesize, sub=None):
@@ -762,8 +908,10 @@ def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, tot
         num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((SUB, SUB), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * SUB, SUB), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 6 * _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            # block-major split basis for the mt matmul (see _pix_basis_mt)
+            pl.BlockSpec((3 * P, _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NUM_ROWS, CPB * SCHUNK), lambda i, tc, kc: (0, i), memory_space=pltpu.VMEM),
             # forward's per-chunk saved state, and ONE chunk of the same
             # array — the previous block's LAST chunk (the j==0 chunk's entry
@@ -785,7 +933,9 @@ def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, tot
         out_shape=jax.ShapeDtypeStruct((NUM_ROWS, Lpad), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(tile_of_chunk, k_of_chunk, _tri_matrix(SUB), _pix_basis(tilesize, P, sub), attrsT, out_chunks, out_chunks, gchunks, totchunks)
+    )(tile_of_chunk, k_of_chunk, _tri3(), _pix_basis6(tilesize, P, sub),
+      _pix_basis_mt(tilesize, P, (sub * sub if sub is not None else min(P, PBLK)), sub),
+      attrsT, out_chunks, out_chunks, gchunks, totchunks)
 
 
 def _chunk_tiles_global(bins, nx, ny, ny_total):
@@ -898,15 +1048,26 @@ def _segsum_kernel(n_sent, fk8_ref, keys_ref, vals_ref, zeros_ref, out_ref,
     rm = rel & 7  # lane group per entry
     iota_q = jax.lax.broadcasted_iota(jnp.int32, (SEG_W // 8, 1), 0)
     rowm = (iota_q == rq).astype(jnp.float32)  # [W/8, B] shared row match
-    # exact in bf16_3x MXU passes: one-hot entries are exactly 0/1, so the
-    # products are the (hi+lo)-split values themselves; accumulation is f32
+    # near-f32 via the contraction concat (one-hot entries are exactly 0/1
+    # in bf16, so the vals hi+lo passes are exact; Mosaic's DEFAULT
+    # single-pass bf16 measured 1.5e-2 rel deviation vs the cumsum
+    # fallback before this)
+    if KERNEL_FAST:
+        vals_cat = vals
+
+        def oh_cat(g):
+            return rowm * (rm == g).astype(jnp.float32)
+    else:
+        vh, vl = _split_hl(vals)
+        vals_cat = jnp.concatenate([vh, vl], axis=1)  # [16, 2B]
+
+        def oh_cat(g):
+            oh_g = rowm * (rm == g).astype(jnp.float32)
+            return jnp.concatenate([oh_g, oh_g], axis=1)  # [W/8, 2B]
     acc = jnp.concatenate(
         [
-            jax.lax.dot_general(
-                rowm * (rm == g).astype(jnp.float32),
-                vals,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            _dotf(
+                oh_cat(g), vals_cat, (((1,), (1,)), ((), ()))
             )  # [W/8, 16]
             for g in range(8)
         ],

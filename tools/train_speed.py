@@ -14,18 +14,40 @@ The persistent compilation cache is enabled, so run the script TWICE to get
 the cold (first run, compiles) and warm (cached) end-to-end times.
 
 Usage:  PYTHONPATH=/root/repo:/root/.axon_site python tools/train_speed.py
+        [--scale r8|r4|r2|dtu] (default r8; larger scales = BASELINE's
+        LLFF -r4 / -r2 and DTU -r2 protocol resolutions, with densities
+        scaled so the rasterizer workload is representative)
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# (width, height, n_gaussians, n_points, bg_capacity): synthetic stand-ins
+# for the BASELINE protocol scales (LLFF fern 4032x3024 at -r8/-r4/-r2;
+# DTU 1600x1200 at -r2). Gaussian counts scale ~ with pixel counts the way
+# trained models do.
+SCALES = {
+    "r8": (504, 378, 120, 240, 8192),
+    "r4": (1008, 756, 480, 960, 32768),
+    "r2": (2016, 1512, 1920, 3840, 131072),
+    "dtu": (800, 600, 480, 960, 32768),
+}
+
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", choices=sorted(SCALES), default="r8")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a device trace of the steady main loop")
+    cli = ap.parse_args()
+    W0, H0, n_gauss, n_pts, bg_cap = SCALES[cli.scale]
+
     from scgaussian_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -40,16 +62,16 @@ def main():
     from scgaussian_tpu.data.synthetic import generate_scene
     from scgaussian_tpu.train import pipeline
 
-    scene_dir = "/tmp/train_speed_scene"
+    scene_dir = f"/tmp/train_speed_scene_{cli.scale}"
     if not os.path.isdir(scene_dir):
         generate_scene(
-            scene_dir, n_views=10, n_gaussians=120, n_points=240,
-            width=504, height=378, seed=3, ring_radius=0.8,
+            scene_dir, n_views=10, n_gaussians=n_gauss, n_points=n_pts,
+            width=W0, height=H0, seed=3, ring_radius=0.8,
         )
 
     scene = Scene(source_path=scene_dir, model_path="/tmp/train_speed_model",
                   resolution=1, eval=True, seed=0)
-    extras = TrainExtras(init_iterations=200, bg_capacity=8192)
+    extras = TrainExtras(init_iterations=200, bg_capacity=bg_cap)
     opt = OptimizationConfig(iterations=800)
     raster = RasterizerConfig()
 
@@ -67,12 +89,21 @@ def main():
     W, H = cam0.width, cam0.height
     times = []
     t_last = [time.time()]
+    prof = [None]
 
     def cb(iteration, m, metrics, **kw):
         now = time.time()
         if iteration > 300:
             times.append(now - t_last[0])
         t_last[0] = now
+        if cli.profile_dir is not None:
+            # trace a short steady window (past compiles/densify growth)
+            if iteration == 600:
+                prof[0] = jax.profiler.trace(cli.profile_dir)
+                prof[0].__enter__()
+            elif iteration == 610 and prof[0] is not None:
+                prof[0].__exit__(None, None, None)
+                prof[0] = None
 
     pipeline.run_main_stage(
         model,
@@ -96,7 +127,7 @@ def main():
     steady = t[t <= 1.0]
     mean = float(np.mean(steady))
     print(
-        f"fern-scale ({W}x{H}): steady mean step {mean * 1e3:.2f} ms "
+        f"{cli.scale}-scale ({W}x{H}): steady mean step {mean * 1e3:.2f} ms "
         f"= {W * H / mean / 1e6:.1f} Mrays/s (fwd+bwd+losses+opt incl. "
         f"densify syncs); {len(recompiles)} recompile iterations excluded "
         f"({recompiles.sum():.1f}s)"
