@@ -1048,22 +1048,24 @@ def _segsum_kernel(n_sent, fk8_ref, keys_ref, vals_ref, zeros_ref, out_ref,
     rm = rel & 7  # lane group per entry
     iota_q = jax.lax.broadcasted_iota(jnp.int32, (SEG_W // 8, 1), 0)
     rowm = (iota_q == rq).astype(jnp.float32)  # [W/8, B] shared row match
-    # near-f32 via the contraction concat (one-hot entries are exactly 0/1
-    # in bf16, so the vals hi+lo passes are exact; Mosaic's DEFAULT
-    # single-pass bf16 measured 1.5e-2 rel deviation vs the cumsum
-    # fallback before this)
+    # FULL-f32 via the contraction concat (one-hot entries are exactly 0/1
+    # in bf16 and the _split3 terms are bf16-exact, so every product is
+    # exact and accumulation is f32; Mosaic's DEFAULT single-pass bf16
+    # measured 1.5e-2 rel deviation vs the cumsum fallback, and the 2-term
+    # hi/lo split still deviated 2.6e-3 on real-TPU gradients — lo = x -
+    # bf16(x) keeps up to 16 mantissa bits, which does NOT fit bf16)
     if KERNEL_FAST:
         vals_cat = vals
 
         def oh_cat(g):
             return rowm * (rm == g).astype(jnp.float32)
     else:
-        vh, vl = _split_hl(vals)
-        vals_cat = jnp.concatenate([vh, vl], axis=1)  # [16, 2B]
+        vh, vm, vl = _split3(vals)
+        vals_cat = jnp.concatenate([vh, vm, vl], axis=1)  # [16, 3B]
 
         def oh_cat(g):
             oh_g = rowm * (rm == g).astype(jnp.float32)
-            return jnp.concatenate([oh_g, oh_g], axis=1)  # [W/8, 2B]
+            return jnp.concatenate([oh_g, oh_g, oh_g], axis=1)  # [W/8, 3B]
     acc = jnp.concatenate(
         [
             _dotf(

@@ -13,6 +13,41 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def unit_exactness():
+    """Adversarial on-device exactness check of the segsum kernel itself:
+    cancellation-heavy mixed-sign values spanning 8 orders of magnitude,
+    compared against a float64 segment sum. With the 3-term bf16-exact
+    contraction concat every MXU product is exact, so the kernel must sit
+    at f32 accumulation-order noise (~1e-7), same as a sequential f32 sum.
+    (The 2-term hi/lo split is NOT exact — lo = x - bf16(x) keeps up to 16
+    mantissa bits — and single-pass bf16 measured 1.5e-2.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from scgaussian_tpu.renderer import tile_raster as tr
+
+    rng = np.random.default_rng(0)
+    nb = 6
+    L = nb * tr.SEG_B
+    n = 3000
+    keys = np.sort(rng.integers(0, n, L)).astype(np.int32)
+    vals = (
+        rng.normal(size=(16, L)) * 10.0 ** rng.uniform(0, 8, (16, L))
+    ).astype(np.float32)
+    keys2d = keys.reshape(nb, tr.SEG_B)
+    fk8 = (keys2d[:, 0] // 8 * 8).astype(np.int32)
+    assert all(keys2d[b, -1] - fk8[b] < tr.SEG_W for b in range(nb))
+    out = jax.jit(lambda k, f, v: tr._segsum_sorted_mxu(k, f, v, n + 1))(
+        jnp.asarray(keys2d), jnp.asarray(fk8), jnp.asarray(vals)
+    )
+    out = np.asarray(out)[: n + 1]
+    ref = np.zeros((n + 1, 16))
+    np.add.at(ref, keys, vals.astype(np.float64).T)
+    err = (np.abs(out - ref).max(axis=0) / (np.abs(ref).max(axis=0) + 1e-30)).max()
+    print(f"segsum kernel vs f64 rel err: {err:.2e}")
+    assert err < 1e-6, f"segsum kernel not at f32 accumulation noise: {err}"
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -20,6 +55,8 @@ def main():
     from scgaussian_tpu.core.cameras import Camera
     from scgaussian_tpu.renderer import render
     from scgaussian_tpu.renderer import tile_raster
+
+    unit_exactness()
 
     W, H, N = 960, 540, 20_000
     rng = np.random.default_rng(7)
@@ -79,10 +116,15 @@ def main():
             f"  fast-vs-slowsort {e_fs:.2e}  (|g|max {scale:.3e})"
         )
         assert np.isfinite(gf).all(), f"{name}: non-finite grads on sort route"
-    # the two sort-grouped reductions share the same segment structure; the
-    # kernel must match the cumsum fallback tightly. The gather-route
-    # spread is reported (not asserted) — it reflects ITS cancellation.
-    assert worst_fs < 5e-4, f"segsum kernel deviates from cumsum fallback: {worst_fs}"
+    # End-to-end the three routes differ ONLY in f32 accumulation order
+    # (unit_exactness pins the kernel's products exact), but scales/quats
+    # amplify that noise through the projection backward's conditioning:
+    # tiny Gaussians carry ~1e8-magnitude per-pixel d_conic terms that
+    # cancel to ~1e4 sums, so order noise lands at ~1e-3 of |g|max
+    # (measured: all three pairwise spreads the same order). Assert the
+    # conditioning-aware bound; the kernel-defect case (bf16 products,
+    # 1.5e-2+) still trips it.
+    assert worst_fs < 5e-3, f"segsum kernel deviates from cumsum fallback: {worst_fs}"
     print(
         f"TPU route parity OK (kernel vs fallback {worst_fs:.2e}; "
         f"gather-route spread {worst_fg:.2e})"
