@@ -20,6 +20,99 @@ BASELINE_RAYS_PER_S = 3.1e8  # see module docstring
 PTILE = 32  # processing tile (semantic CUDA tile stays 16; see
 # renderer/binning.bin_gaussians — measured fastest at both 1080p and 4K)
 
+# Parity-gate budgets (see parity_gate): the shipped kernels sit at
+# ~2e-5..5e-5 image / ~5e-4 gradient noise vs the f32 oracle (the test
+# suite's own tolerances); the failure mode being gated — Mosaic's silent
+# single-pass-bf16 matmul lowering, which shipped three rounds of tainted
+# BENCH numbers before round 4 caught it — measures ~5e-2 image / ~1.5e-2
+# gradient. The budgets sit two orders above noise, one below the failure.
+PARITY_IMG_BUDGET = 1e-3
+PARITY_GRAD_BUDGET = 5e-3
+
+
+def parity_gate() -> dict:
+    """On-TPU numerical parity gate, run BEFORE any timing: renders a small
+    fixed scene through the shipped Pallas kernel path AND the f32 oracle,
+    compares images and input gradients, and returns
+    {"precision_mode", "parity_img_max_err", "parity_grad_max_err"} for the
+    bench JSON line. Hard-fails (raises) when the kernels are in the default
+    f32-exact mode but exceed the parity budget — so a regression of the
+    silent-bf16 class can never ship a bench number again. In
+    SCG_KERNEL_PRECISION=fast mode nothing is asserted, but the mode and the
+    measured error are embedded in the JSON so a fast-mode number is never
+    indistinguishable from an honest one (round-4 verdict weak #7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scgaussian_tpu.core.cameras import Camera
+    from scgaussian_tpu.renderer import render
+    from scgaussian_tpu.renderer.tile_raster import KERNEL_FAST
+
+    # small on purpose: the oracle is a 2N-step scan fwd+bwd (its gradient
+    # checkpoints [P]-wide carries per step) — this size measures in ~1 min
+    # on TPU while still compositing thousands of threshold-crossing splats
+    # (the bf16 failure mode being gated measured 5e-2 here, 50x the budget)
+    W, H, N = 256, 160, 1500
+    rng = np.random.default_rng(42)
+    means = np.stack(
+        [rng.uniform(-3, 3, N), rng.uniform(-2, 2, N), rng.uniform(2, 10, N)], -1
+    ).astype(np.float32)
+    scales = np.exp(rng.uniform(-5.0, -3.5, (N, 3))).astype(np.float32)
+    quats = rng.normal(size=(N, 4)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.9, N).astype(np.float32)
+    shs = np.zeros((N, 16, 3), np.float32)
+    shs[:, 0] = rng.uniform(-1, 1, (N, 3))
+    cam = Camera.create(np.eye(3), np.zeros(3), 0.9, 0.6, W, H)
+    args = tuple(jnp.asarray(x) for x in (means, opac, scales, quats, shs))
+    # probed budgets: a default-budget overflow would TRUNCATE the TPU
+    # render and the gate would measure truncation, not kernel precision
+    budgets = probe_budgets(cam, args, W, H, PTILE)
+
+    def run(backend):
+        def loss(*a):
+            out = render(
+                cam, a[0], a[1], jnp.zeros(3), scales=a[2], rotations=a[3],
+                shs=a[4], active_sh_degree=3, backend=backend,
+                **({"ptile": PTILE, **budgets} if backend == "tpu" else {}),
+            )
+            return (
+                jnp.sum(out.render**2)
+                + 0.1 * jnp.sum(out.rendered_depth**2)
+                + 0.1 * jnp.sum(out.rendered_alpha)
+            ), (out.render, out.overflow)
+
+        (l, (img, ovf)), grads = jax.jit(
+            jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4), has_aux=True)
+        )(*args)
+        assert int(ovf) == 0, f"parity-gate scene overflows on {backend}"
+        return np.asarray(img), jax.tree_util.tree_map(np.asarray, grads)
+
+    img_t, g_t = run("tpu")
+    img_o, g_o = run("oracle")
+    img_err = float(np.abs(img_t - img_o).max())
+    grad_err = 0.0
+    for a, b in zip(g_t, g_o):
+        grad_err = max(
+            grad_err, float(np.abs(a - b).max() / (np.abs(b).max() + 1e-8))
+        )
+    mode = "fast" if KERNEL_FAST else "f32"
+    if not KERNEL_FAST:
+        assert img_err < PARITY_IMG_BUDGET, (
+            f"TPU kernel image diverges from f32 oracle: {img_err:.2e} "
+            f"(budget {PARITY_IMG_BUDGET:.0e}) — refusing to emit a bench "
+            "number on non-parity kernels"
+        )
+        assert grad_err < PARITY_GRAD_BUDGET, (
+            f"TPU kernel gradients diverge from f32 oracle: {grad_err:.2e} "
+            f"(budget {PARITY_GRAD_BUDGET:.0e}) — refusing to emit a bench "
+            "number on non-parity kernels"
+        )
+    return {
+        "precision_mode": mode,
+        "parity_img_max_err": img_err,
+        "parity_grad_max_err": grad_err,
+    }
+
 
 def probe_budgets(cam, arrays, W, H, ptile):
     """Dry-run the binning with generous budgets and return tight,
@@ -146,6 +239,7 @@ def main(dense_only: bool = False):
     config 5, the sharding-design regime) rides the same JSON line as
     `dense_4k_*` extras so dense-scale regressions are recorded every round
     (round-3 verdict: the dense number must not live only in STATUS)."""
+    parity = parity_gate()
     if dense_only:
         rays = measure(dense=True)
         print(
@@ -155,6 +249,7 @@ def main(dense_only: bool = False):
                     "value": rays,
                     "unit": "rays/s",
                     "vs_baseline": rays / BASELINE_RAYS_PER_S,
+                    **parity,
                 }
             )
         )
@@ -170,6 +265,7 @@ def main(dense_only: bool = False):
                 "vs_baseline": rays / BASELINE_RAYS_PER_S,
                 "dense_4k_rays_per_s": dense_rays,
                 "dense_4k_vs_baseline": dense_rays / BASELINE_RAYS_PER_S,
+                **parity,
             }
         )
     )

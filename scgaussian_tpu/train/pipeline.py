@@ -107,6 +107,7 @@ def run_main_stage(
         opt_state = optim.init(model.params)
 
     n_dp = 0
+    multiproc = False
     if mesh is not None:
         from scgaussian_tpu.parallel import dp as dp_mod
 
@@ -116,6 +117,23 @@ def run_main_stage(
             f"data-parallel training batches cameras into one static shape; "
             f"got mixed resolutions {sizes}"
         )
+        # Multi-HOST mesh (jax.distributed cluster): every per-step input
+        # must be either a GLOBAL jax.Array or host-local numpy (treated as
+        # an identical-on-all-processes global value and sharded by jit) —
+        # host-local jax.Arrays on one process's devices are rejected with
+        # "incompatible devices". All processes run this same deterministic
+        # loop (same seed -> same camera stack), so numpy inputs are
+        # identical by construction; step outputs are global replicated
+        # arrays and flow into later steps unchanged.
+        multiproc = len({d.process_index for d in mesh.devices.flat}) > 1
+        if multiproc:
+            to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+            model = to_np(model)
+            opt_state = to_np(opt_state)
+            bundle = to_np(bundle)
+            cameras = [to_np(c) for c in cameras]
+            gt_images = [np.asarray(g) for g in gt_images]
+            bg_color = np.asarray(bg_color)
 
     # random camera stack semantics (`train.py:133-135`)
     py_rng = np.random.default_rng(np.asarray(jax.random.key_data(rng))[-1])
@@ -185,21 +203,22 @@ def run_main_stage(
             model = model.oneup_sh_degree()
 
         if opt_cfg.random_background:
-            bg = jnp.asarray(py_rng.uniform(size=3).astype(np.float32))
+            bg = py_rng.uniform(size=3).astype(np.float32)
         else:
             bg = bg_color
 
         if n_dp:
             batch = [pop_camera() for _ in range(n_dp)]
+            xp = np if multiproc else jnp  # numpy == global value (see above)
             model, opt_state, metrics = dp_mod.dp_train_step(
                 mesh,
                 model,
                 opt_state,
                 bundle,
-                dp_mod.stack_cameras([cameras[i] for i in batch]),
-                jnp.stack([gt_images[i] for i in batch]),
-                jnp.asarray([view_ids[i] for i in batch], jnp.int32),
-                jnp.int32(iteration),
+                dp_mod.stack_cameras([cameras[i] for i in batch], xp=xp),
+                xp.stack([gt_images[i] for i in batch]),
+                xp.asarray([view_ids[i] for i in batch], xp.int32),
+                np.int32(iteration),
                 bg,
                 opt_cfg,
                 raster=raster,
@@ -239,6 +258,10 @@ def run_main_stage(
                     else None
                 )
                 rng, sub = jax.random.split(rng)
+                if multiproc:
+                    # typed key arrays are host-local; ship raw key data as
+                    # numpy (wrapped back inside the jit — see densify)
+                    sub = np.asarray(jax.random.key_data(sub))
                 model, opt_state, dropped = densify_and_prune(
                     model,
                     opt_state,
@@ -271,7 +294,18 @@ def run_main_stage(
                     print(msg + f" -> growing bg capacity to {new_cb} (recompile)")
                     from scgaussian_tpu.model.densify import grow_bg_capacity
 
-                    model, opt_state = grow_bg_capacity(model, opt_state, new_cb)
+                    if multiproc:
+                        # grow_bg_capacity is EAGER and concatenates freshly
+                        # created (host-local) pad blocks onto the state —
+                        # mixing local and global arrays errors. Round-trip
+                        # through numpy (identical on every process).
+                        to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+                        model, opt_state = to_np((model, opt_state))
+                        model, opt_state = to_np(
+                            grow_bg_capacity(model, opt_state, new_cb)
+                        )
+                    else:
+                        model, opt_state = grow_bg_capacity(model, opt_state, new_cb)
             if iteration < opt_cfg.opacity_reset_until_iter and (
                 iteration % opt_cfg.opacity_reset_interval == 0
                 or (white_background and iteration == opt_cfg.densify_from_iter)
@@ -286,6 +320,10 @@ def run_main_stage(
             check_overflow(iteration)
 
         if callback is not None:
-            callback(iteration, model, metrics, opt_state=opt_state)
+            # pass the CURRENT raster config: the overflow guard may have
+            # regrown the entry budget above, and eval/GUI renders made with
+            # the caller's original config would silently truncate
+            # (round-4 verdict weak #5)
+            callback(iteration, model, metrics, opt_state=opt_state, raster=raster)
 
     return TrainState(model=model, opt_state=opt_state, iteration=iterations)

@@ -22,12 +22,21 @@ except ImportError:  # pragma: no cover
 
 
 class TrainLogger:
-    def __init__(self, model_path: str, use_tensorboard: bool = True):
-        self.jsonl = open(os.path.join(model_path, "train_log.jsonl"), "a")
+    def __init__(
+        self, model_path: str, use_tensorboard: bool = True, enabled: bool = True
+    ):
+        # enabled=False (non-primary multi-host processes): write nothing —
+        # every process holds the identical replicated state, so extra
+        # writers would only race on the same files
+        self.jsonl = (
+            open(os.path.join(model_path, "train_log.jsonl"), "a")
+            if enabled
+            else None
+        )
         self.tb = None
-        if use_tensorboard and TENSORBOARD_FOUND:
+        if enabled and use_tensorboard and TENSORBOARD_FOUND:
             self.tb = SummaryWriter(model_path)
-        elif use_tensorboard:
+        elif enabled and use_tensorboard:
             print("Tensorboard not available: not logging progress")
 
     def scalar(self, tag: str, value: float, step: int) -> None:
@@ -61,11 +70,13 @@ class TrainLogger:
             self.tb.add_histogram(tag, np.asarray(values), step)
 
     def json(self, record: dict) -> None:
-        self.jsonl.write(json.dumps(record) + "\n")
-        self.jsonl.flush()
+        if self.jsonl is not None:
+            self.jsonl.write(json.dumps(record) + "\n")
+            self.jsonl.flush()
 
     def close(self) -> None:
-        self.jsonl.close()
+        if self.jsonl is not None:
+            self.jsonl.close()
         if self.tb is not None:
             self.tb.close()
 

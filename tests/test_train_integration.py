@@ -190,7 +190,7 @@ def test_dtu_training_end_to_end(scene):
     # densification confounds a before/after comparison)
     losses = []
 
-    def cb(iteration, m, metrics, opt_state=None):
+    def cb(iteration, m, metrics, opt_state=None, **kw):
         losses.append(float(metrics.loss))
 
     opt_cfg = OptimizationConfig(
