@@ -297,33 +297,37 @@ POWER_EPS = 1e-4
 _NQ = 8  # quadratic basis rows [1, px, py, px^2, px*py, py^2, 0, 0]
 
 
-def _pix_basis(tilesize: int, P: int, sub: int | None = None):
-    """[P, _NQ] pixel basis (columns [1, lx, ly, lx^2, lx*ly, ly^2, 0, 0];
-    lx/ly are processing-tile-local pixel coordinates).
+def _pix_basis_block(tilesize: int, pblk: int, sub: int | None = None):
+    """[pblk, _NQ] BLOCK-LOCAL pixel basis, shared by EVERY pixel block:
+    columns [1, bx, by, bx^2, bx*by, by^2, 0, 0] where (bx, by) are the
+    pixel's coordinates WITHIN its block — a sub x sub square in semantic
+    sub-tile mode (pixel order (qy, qx, ly%sub, lx%sub), so each block is
+    exactly one semantic sub-tile and rect membership stays a per-(entry,
+    block) row constant), a row strip of the tile otherwise. The block's
+    tile-local origin moves into the COEFFICIENT rows instead (see
+    _stream_block_alpha), which the 3-term coef split recovers f32-exactly.
 
-    With `sub` (semantic sub-tile mode) the PIXEL ORDER is (qy, qx, ly%sub,
-    lx%sub): each sub*sub pixel block covers exactly ONE semantic sub-tile,
-    so rect membership is a per-(entry, block) row constant the kernels
-    fold into the a0 coefficient row (_stream_block_alpha) — no extra basis
-    columns or matmul blocks. rasterize's image assembly undoes the
-    reordering with the matching reshape/transpose."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    if sub is None:
-        lxi = p % tilesize
-        lyi = p // tilesize
-    else:
-        nsx = tilesize // sub
-        blk = p // (sub * sub)
-        ps = p % (sub * sub)
-        lxi = (blk % nsx) * sub + ps % sub
-        lyi = (blk // nsx) * sub + ps // sub
-    lx = lxi.astype(jnp.float32)
-    ly = lyi.astype(jnp.float32)
-    one = jnp.ones((P, 1), jnp.float32)
-    zero = jnp.zeros((P, 1), jnp.float32)
+    Why block-local (round-5 finding): every basis entry is a small integer
+    (<= 15^2 = 225 — enforced by the side <= 16 assert), EXACTLY
+    representable in bf16, so the quadratic-form matmul needs NO basis
+    split. The former tile-local basis (values up to 31^2) rode a hi/lo
+    split as a 6-piece contraction concat, and Mosaic silently DROPPED its
+    low-half lanes in the full kernel context: compiled ptile=32 output
+    equaled a pl=0 kernel bitwise-at-noise while interpret mode computed
+    the true product (~1.6e-2 mean image divergence invisible to every CPU
+    test; caught by bench.py's on-TPU parity gate). 3-piece concats are
+    verified clean on-TPU; 6-piece are not — do not reintroduce one."""
+    side = sub if sub is not None else tilesize
+    assert side <= 16, "pixel-block side must be <= 16 (bf16-exact basis)"
+    assert pblk % side == 0
+    p = jax.lax.broadcasted_iota(jnp.int32, (pblk, 1), 0)
+    lx = (p % side).astype(jnp.float32)
+    ly = (p // side).astype(jnp.float32)
+    one = jnp.ones((pblk, 1), jnp.float32)
+    zero = jnp.zeros((pblk, 1), jnp.float32)
     return jnp.concatenate(
         [one, lx, ly, lx * lx, lx * ly, ly * ly, zero, zero], axis=1
-    )  # [P, _NQ]
+    )  # [pblk, _NQ]
 
 
 def _aligned_attrsT(attrs, bins):
@@ -437,58 +441,38 @@ PEN_BIG = 1e9  # added to `power` for pixels outside the semantic rect: far
 # quadratic-form value (|a0| < ~1e8 at 4K image scale)
 
 
-def _pix_basis6(tilesize: int, P: int, sub: int | None = None):
-    """[P, 6 _NQ] = [ph x3 | pl x3]: the pixel basis split into bf16-exact
-    hi/lo parts (integers <= 961 split exactly into two bf16 terms) and
-    pre-concatenated for the full-f32 quadratic-form matmul's contraction
-    concat against [ch; cm; cl; ch; cm; cl] — all 6 products exact."""
-    pixb = _pix_basis(tilesize, P, sub)
-    ph = pixb.astype(jnp.bfloat16).astype(jnp.float32)
-    pl_ = pixb - ph
-    return jnp.concatenate([ph, ph, ph, pl_, pl_, pl_], axis=1)
+def _pix_basis3(tilesize: int, pblk: int, sub: int | None = None):
+    """[pblk, 3 _NQ] = [pb | pb | pb]: the bf16-exact block-local basis
+    replicated for the quadratic-form matmul's 3-term coef contraction
+    concat [ch; cm; cl] — all products exact, f32 accumulation. The fast
+    path reads only the first _NQ columns."""
+    pb = _pix_basis_block(tilesize, pblk, sub)
+    return jnp.concatenate([pb, pb, pb], axis=1)
 
 
-def _pix_basis_mt(tilesize: int, P: int, pblk: int, sub: int | None = None):
-    """[3 P, _NQ] BLOCK-MAJOR basis for the backward's mt matmul: rows
-    [3 pblk pb, 3 pblk (pb+1)) hold [ph_blk; pl_blk; ph_blk] for pixel
-    block pb — ONE contiguous static slice per block, because an in-kernel
-    sublane concat of slices with different lane offsets is rejected by
-    Mosaic."""
-    pixb = _pix_basis(tilesize, P, sub)
-    ph = pixb.astype(jnp.bfloat16).astype(jnp.float32)
-    pl_ = pixb - ph
-    nb = P // pblk
-    phr = ph.reshape(nb, pblk, _NQ)
-    plr = pl_.reshape(nb, pblk, _NQ)
-    return jnp.stack([phr, plr, phr], axis=1).reshape(3 * P, _NQ)
+def _pix_basis_mt(tilesize: int, pblk: int, sub: int | None = None):
+    """[2 pblk, _NQ] = [pb; pb] basis for the backward's mt matmul, whose
+    d_power operand rides a 2-term hi/lo split ([dph, dpl] lane concat):
+    products pb * dph and pb * dpl are exact (pb is bf16-exact), recovering
+    pb * d_power to ~2^-24 — accumulate-class precision (mt feeds plain
+    per-entry moment sums, never a threshold)."""
+    pb = _pix_basis_block(tilesize, pblk, sub)
+    return jnp.concatenate([pb, pb], axis=0)
 
 
 def _stream_entry_coefs(ablk_ref, sl, bx, by, sub):
-    """Per-chunk, per-entry coefficient rows for the fused quadratic-basis
-    matmul. Returns (a0, logop, tail [7, 2C]) — the a0 row is finalized per
-    pixel block by _stream_block_alpha (the semantic-rect penalty differs
-    per block when `sub` is set) — plus the unpacked rect bounds (or None)
-    and the geometry rows.
-
-    Notes on Mosaic layouts: every concat operand must share the source
-    slices' vector layout — rows reuse sliced quantities (a1/a2) rather
-    than jnp.zeros, because constants carry lane offset 0 while
-    SCHUNK-offset slices carry offset j*SCHUNK and Mosaic rejects sublane
-    concats with mismatched lane offsets. Tail rows 6-7 are annihilated by
-    pixb's zero columns 6-7.
-
-    ONE fused matmul for both quadratic forms: (power, power + log op)
-    stack on the LANE axis so a single MXU pass yields [2C, PB] — one
-    dependent-matmul latency chain per block instead of two."""
+    """Per-chunk, per-entry raw rows for the quadratic-form evaluation:
+    returns (logop,), the unpacked rect bounds (or None) and the geometry
+    rows (tile-local mean offsets + conic + opacity). The coefficient rows
+    themselves are built PER PIXEL BLOCK by _stream_block_alpha: the basis
+    is block-local (bf16-exact), so the block origin must fold into the
+    coefficients."""
     mx = ablk_ref[ROW_MX : ROW_MX + 1, sl] - bx  # [1, C] tile-local
     my = ablk_ref[ROW_MY : ROW_MY + 1, sl] - by
     ca = ablk_ref[ROW_CA : ROW_CA + 1, sl]
     cb = ablk_ref[ROW_CB : ROW_CB + 1, sl]
     cc = ablk_ref[ROW_CC : ROW_CC + 1, sl]
     op = ablk_ref[ROW_OP : ROW_OP + 1, sl]
-    a1 = ca * mx + cb * my
-    a2 = cc * my + cb * mx
-    a0 = -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my
     # clamp keeps the zero sentinel row FINITE: log(0) = -inf NaN-poisons
     # the split-matmul quadratic form (the hi/lo operand split computes
     # -inf - (-inf) = NaN, and NaN x one-hot-0 stays NaN). 1e-37 is a
@@ -496,18 +480,6 @@ def _stream_entry_coefs(ablk_ref, sl, bx, by, sub):
     # into a no-op); exp(-85 + power) == 0 in fp32 for every real power,
     # so sentinel alpha is still exactly 0.
     logop = jnp.log(jnp.maximum(op, 1e-37))
-    rows = [
-        [a1, a1],
-        [a2, a2],
-        [-0.5 * ca, -0.5 * ca],
-        [-cb, -cb],
-        [-0.5 * cc, -0.5 * cc],
-        [a1, a1],  # annihilated by pixb's zero columns 6-7
-        [a2, a2],
-    ]
-    tail = jnp.concatenate(
-        [jnp.concatenate(r, axis=1) for r in rows], axis=0
-    )  # [7, 2C]
     if sub is None:
         rect = None
     else:
@@ -521,38 +493,72 @@ def _stream_entry_coefs(ablk_ref, sl, bx, by, sub):
         maxy1 = jnp.floor(ry * (1.0 / 256.0))
         miny = ry - 256.0 * maxy1
         rect = (minx, maxx1, miny, maxy1)
-    return (a0, logop, tail), rect, (mx, my, ca, cb, cc, op)
+    return (logop,), rect, (mx, my, ca, cb, cc, op)
 
 
-def _stream_block_alpha(parts, rect, pixb, gx, gy):
-    """Evaluate one chunk's coefficients against one [PB, _NQ] pixel-basis
-    block: returns ([C, PB]) alpha (live-masked), alpha_pre, live, power.
+def _stream_block_alpha(parts, geo, rect, pixb, obx, oby, gx, gy):
+    """Evaluate one chunk's entries against one [PB, 3 _NQ] block-local
+    pixel-basis block with tile-local block origin (obx, oby): returns
+    ([C, PB]) alpha (live-masked), alpha_pre, live, power, and the
+    BLOCK-local mean offsets (mxb, myb) the backward's moment conversion
+    needs.
 
     When `rect` is set, the block covers exactly ONE semantic sub-tile
-    (see _pix_basis) at global semantic-grid coordinates (gx, gy), so rect
-    membership is a per-entry row constant: outside entries get PEN_BIG
-    added to a0, which drives `power` past POWER_EPS and excludes them via
-    the standard live test — zero extra matmul work vs the baseline."""
-    a0, logop, tail = parts
+    (see _pix_basis_block) at global semantic-grid coordinates (gx, gy), so
+    rect membership is a per-entry row constant: outside entries get
+    PEN_BIG added to a0, which drives `power` past POWER_EPS and excludes
+    them via the standard live test — zero extra matmul work vs the
+    baseline.
+
+    Notes on Mosaic layouts: every concat operand must share the source
+    slices' vector layout — tail rows reuse sliced quantities (a1/a2)
+    rather than jnp.zeros, because constants carry lane offset 0 while
+    SCHUNK-offset slices carry offset j*SCHUNK and Mosaic rejects sublane
+    concats with mismatched lane offsets. Tail rows 6-7 are annihilated by
+    pixb's zero columns 6-7.
+
+    ONE fused matmul for both quadratic forms: (power, power + log op)
+    stack on the LANE axis so a single MXU pass yields [2C, PB] — one
+    dependent-matmul latency chain per block instead of two."""
+    (logop,) = parts
+    mx, my, ca, cb, cc, op = geo
+    mxb = mx - obx  # [1, C] BLOCK-local mean offset
+    myb = my - oby
+    a1 = ca * mxb + cb * myb
+    a2 = cc * myb + cb * mxb
+    a0 = -0.5 * (ca * mxb * mxb + cc * myb * myb) - cb * mxb * myb
     if rect is not None:
         minx, maxx1, miny, maxy1 = rect
         outside = (gx < minx) | (maxx1 < gx) | (gy < miny) | (maxy1 < gy)
         a0 = a0 + jnp.where(outside, PEN_BIG, 0.0)
+    rows = [
+        [a1, a1],
+        [a2, a2],
+        [-0.5 * ca, -0.5 * ca],
+        [-cb, -cb],
+        [-0.5 * cc, -0.5 * cc],
+        [a1, a1],  # annihilated by pixb's zero columns 6-7
+        [a2, a2],
+    ]
+    tail = jnp.concatenate(
+        [jnp.concatenate(r, axis=1) for r in rows], axis=0
+    )  # [7, 2C]
     coef = jnp.concatenate(
         [jnp.concatenate([a0, a0 + logop], axis=1), tail], axis=0
     )  # [_NQ, 2C]
-    # pixb carries [ph x3 | pl x3] (see _pix_basis6); the coef concat
-    # [ch; cm; cl] x2 turns the six FULL-f32 passes into ONE K=48 matmul —
-    # free on the MXU (K pads to 128). Full 24-bit coef recovery matters:
-    # power feeds the 1/255 live test whose flips cascade into the sticky
-    # early-stop (2-term recovery measured 1.5e-2 mean image error).
+    # pixb carries [pb x3] (bf16-exact block-local basis, _pix_basis3); the
+    # 3-term coef concat [ch; cm; cl] computes the FULL-f32 product in ONE
+    # K=24 matmul — free on the MXU (K pads to 128). Full 24-bit coef
+    # recovery matters: power feeds the 1/255 live test whose flips cascade
+    # into the sticky early-stop (2-term recovery measured 1.5e-2 mean
+    # image error). Do NOT fold a basis split back in here: the former
+    # 6-piece concat was silently mis-lowered by Mosaic (see
+    # _pix_basis_block).
     if KERNEL_FAST:
         pp = _dotf(coef, pixb[:, :_NQ], (((0,), (1,)), ((), ())))
     else:
         ch, cm, cl = _split3(coef)
-        coef_cat = jnp.concatenate(
-            [ch, cm, cl, ch, cm, cl], axis=0
-        )  # [6 _NQ, 2C]
+        coef_cat = jnp.concatenate([ch, cm, cl], axis=0)  # [3 _NQ, 2C]
         pp = _dotf(coef_cat, pixb, (((0,), (1,)), ((), ())))  # [2C, PB]
     C = a0.shape[1]
     power = pp[:C]
@@ -566,7 +572,7 @@ def _stream_block_alpha(parts, rect, pixb, gx, gy):
     alpha = jnp.minimum(ALPHA_MAX, alpha_pre)
     live = jnp.where((power <= POWER_EPS) & (alpha >= ALPHA_MIN), 1.0, 0.0)
     alpha = alpha * live
-    return alpha, alpha_pre, live, power
+    return alpha, alpha_pre, live, power, (mxb, myb)
 
 
 def _stream_fwd_kernel(
@@ -623,7 +629,7 @@ def _stream_fwd_block(
         tt = jnp.minimum(t, T_total - 1)  # sentinel chunks hit sentinel rows
         bx = ((tt % nx) * tilesize).astype(jnp.float32)
         by = ((tt // nx) * tilesize).astype(jnp.float32)
-        parts, rect, _ = _stream_entry_coefs(ablk_ref, sl, bx, by, sub)
+        parts, rect, geo = _stream_entry_coefs(ablk_ref, sl, bx, by, sub)
         attrs8 = ablk_ref[ROW_R : ROW_R + 8, sl]  # [8, C]
         if not KERNEL_FAST:
             ah, al = _split_hl(attrs8)
@@ -636,10 +642,17 @@ def _stream_fwd_block(
                 # block pb = semantic sub-tile (qy, qx); global coords
                 gx = bx * (1.0 / sub) + (pb % nsx)
                 gy = by * (1.0 / sub) + (pb // nsx)
+                obx = float((pb % nsx) * sub)  # tile-local block origin
+                oby = float((pb // nsx) * sub)
+            else:
+                obx = 0.0
+                oby = float(pb * (pblk // tilesize))
             logT = jnp.where(head, 0.0, st_logT[:, psl])  # [1, PB]
             done = jnp.where(head, 0.0, st_done[:, psl])
             acc_in = jnp.where(head, 0.0, st_acc[:, psl])
-            alpha, *_ = _stream_block_alpha(parts, rect, pixb_ref[psl, :], gx, gy)
+            alpha, *_ = _stream_block_alpha(
+                parts, geo, rect, pixb_ref[...], obx, oby, gx, gy
+            )
             l = jnp.log1p(-alpha)  # [C, PB]
             # inclusive prefix over entries (sublanes)
             S = _prefix_sublanes(l, tri_ref[:])
@@ -735,7 +748,11 @@ def _stream_bwd_block(
             by = ((tt // nx) * tilesize).astype(jnp.float32)
             parts, rect, geo_rows = _stream_entry_coefs(ablk_ref, sl, bx, by, sub)
             attrs8 = ablk_ref[ROW_R : ROW_R + 8, sl]  # [8, C]
-            MT = None
+            # per-block moment accumulators, already converted to the
+            # origin-invariant r_* forms (the basis is BLOCK-local, so raw
+            # moments from different blocks have different origins and can
+            # NOT be summed before conversion)
+            S0 = r_dx = r_dy = r_dxdx = r_dydy = r_dxdy = None
             d_attrs_rows = None
             nsx = 1 if sub is None else tilesize // sub
             for pb in range(P // pblk):
@@ -746,7 +763,12 @@ def _stream_bwd_block(
                 if sub is not None:
                     gx = bx * (1.0 / sub) + (pb % nsx)
                     gy = by * (1.0 / sub) + (pb // nsx)
-                pixb = pixb_ref[psl, :]  # [PB, _NQ]
+                    obx = float((pb % nsx) * sub)
+                    oby = float((pb // nsx) * sub)
+                else:
+                    obx = 0.0
+                    oby = float(pb * (pblk // tilesize))
+                pixb = pixb_ref[...]  # [PB, 3 _NQ] (shared per-block table)
                 logT_e = jnp.where(head, 0.0, prev[OUT_LOGT : OUT_LOGT + 1, psl])
                 done_e = jnp.where(head, 0.0, prev[OUT_DONE : OUT_DONE + 1, psl])
                 accdot = jnp.where(
@@ -758,8 +780,8 @@ def _stream_bwd_block(
                         keepdims=True,
                     ),
                 )  # [1, PB] inclusive-prefix of gww through chunk c-1
-                alpha, alpha_pre, live, power = _stream_block_alpha(
-                    parts, rect, pixb, gx, gy
+                alpha, alpha_pre, live, power, (mxb, myb) = _stream_block_alpha(
+                    parts, geo_rows, rect, pixb, obx, oby, gx, gy
                 )
                 g8 = gblk_ref[j, :, psl]  # [G_ROWS, PB] (r, g, b, d, logT)
                 g_logT = gblk_ref[j, OUT_LOGT : OUT_LOGT + 1, psl]
@@ -812,26 +834,40 @@ def _stream_bwd_block(
                         (((1,), (1,)), ((), ())),
                     )  # [G_ROWS, C] (row 4 = g_logT * w, never routed:
                     # R_USED stops at ROW_D)
-                    # per-entry pixel sums via the quadratic basis:
-                    # MT[b, c] = sum_p pixb[p, b] * d_power[c, p]; the
-                    # [ph; pl; ph] operand is ONE contiguous slice of the
-                    # block-major basis (in-kernel sublane concats of
-                    # slices with different lane offsets are rejected)
+                    # per-entry pixel moments via the block-local basis:
+                    # mt[b, c] = sum_p pixb[p, b] * d_power[c, p]; pb is
+                    # bf16-exact so only d_power splits ([pb; pb] x
+                    # [dph, dpl] — accumulate-class 2-term recovery)
                     mt = _dotf(
-                        pixbmt_ref[3 * pb * pblk : 3 * (pb + 1) * pblk, :],
-                        jnp.concatenate([dph, dph, dpl], axis=1),
+                        pixbmt_ref[...],
+                        jnp.concatenate([dph, dpl], axis=1),
                         (((0,), (1,)), ((), ())),
                     )  # [_NQ, C]
                 d_attrs_rows = da if d_attrs_rows is None else d_attrs_rows + da
-                MT = mt if MT is None else MT + mt
-            S0, Sx, Sy = MT[0:1], MT[1:2], MT[2:3]
-            Sxx, Sxy, Syy = MT[3:4], MT[4:5], MT[5:6]
+                # convert this block's moments to the origin-invariant r_*
+                # sums with the BLOCK-local mean (mxb, myb) before
+                # accumulating: r_dx == sum_p (mean_x - pix_x) d_power etc.
+                # hold per block regardless of basis origin
+                S0_b, Sx_b, Sy_b = mt[0:1], mt[1:2], mt[2:3]
+                Sxx_b, Sxy_b, Syy_b = mt[3:4], mt[4:5], mt[5:6]
+                acc = [
+                    S0_b,
+                    mxb * S0_b - Sx_b,
+                    myb * S0_b - Sy_b,
+                    mxb * mxb * S0_b - 2.0 * mxb * Sx_b + Sxx_b,
+                    myb * myb * S0_b - 2.0 * myb * Sy_b + Syy_b,
+                    mxb * myb * S0_b - mxb * Sy_b - myb * Sx_b + Sxy_b,
+                ]
+                if S0 is None:
+                    S0, r_dx, r_dy, r_dxdx, r_dydy, r_dxdy = acc
+                else:
+                    S0 = S0 + acc[0]
+                    r_dx = r_dx + acc[1]
+                    r_dy = r_dy + acc[2]
+                    r_dxdx = r_dxdx + acc[3]
+                    r_dydy = r_dydy + acc[4]
+                    r_dxdy = r_dxdy + acc[5]
             mx, my, ca, cb, cc, op = geo_rows  # [1, C] tile-local rows
-            r_dx = mx * S0 - Sx
-            r_dy = my * S0 - Sy
-            r_dxdx = mx * mx * S0 - 2.0 * mx * Sx + Sxx
-            r_dydy = my * my * S0 - 2.0 * my * Sy + Syy
-            r_dxdy = mx * my * S0 - mx * Sy - my * Sx + Sxy
             d_op_row = jnp.where(op > 0.0, S0 / op, 0.0)
 
             dgeo = jnp.concatenate(
@@ -876,12 +912,13 @@ def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, t_total, tilesize, s
     P = tilesize * tilesize
     T_total = t_total  # GLOBAL tile count (tile ids may carry a row offset
     # under tile-row sharding; sentinel chunks carry id == T_total)
+    pblk = sub * sub if sub is not None else min(P, PBLK)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((3 * SUB, SUB), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 6 * _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pblk, 3 * _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NUM_ROWS, CPB * SCHUNK), lambda i, tc, kc: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((CPB, 8, P), lambda i, tc, kc: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -896,7 +933,7 @@ def _stream_fwd_impl(attrsT, tile_of_chunk, k_of_chunk, nx, t_total, tilesize, s
         out_shape=jax.ShapeDtypeStruct((nbc, 8, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(tile_of_chunk, k_of_chunk, _tri3(), _pix_basis6(tilesize, P, sub), attrsT)
+    )(tile_of_chunk, k_of_chunk, _tri3(), _pix_basis3(tilesize, pblk, sub), attrsT)
 
 
 def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, totchunks, nx, t_total, tilesize, sub=None):
@@ -905,14 +942,15 @@ def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, tot
     grid = Lpad // (CPB * SCHUNK)
     P = tilesize * tilesize
     T_total = t_total  # global; see _stream_fwd_impl
+    pblk = sub * sub if sub is not None else min(P, PBLK)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((3 * SUB, SUB), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 6 * _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
-            # block-major split basis for the mt matmul (see _pix_basis_mt)
-            pl.BlockSpec((3 * P, _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pblk, 3 * _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
+            # [pb; pb] basis for the mt matmul (see _pix_basis_mt)
+            pl.BlockSpec((2 * pblk, _NQ), lambda i, tc, kc: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NUM_ROWS, CPB * SCHUNK), lambda i, tc, kc: (0, i), memory_space=pltpu.VMEM),
             # forward's per-chunk saved state, and ONE chunk of the same
             # array — the previous block's LAST chunk (the j==0 chunk's entry
@@ -934,8 +972,8 @@ def _stream_bwd_impl(attrsT, tile_of_chunk, k_of_chunk, out_chunks, gchunks, tot
         out_shape=jax.ShapeDtypeStruct((NUM_ROWS, Lpad), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(tile_of_chunk, k_of_chunk, _tri3(), _pix_basis6(tilesize, P, sub),
-      _pix_basis_mt(tilesize, P, (sub * sub if sub is not None else min(P, PBLK)), sub),
+    )(tile_of_chunk, k_of_chunk, _tri3(), _pix_basis3(tilesize, pblk, sub),
+      _pix_basis_mt(tilesize, pblk, sub),
       attrsT, out_chunks, out_chunks, gchunks, totchunks)
 
 
